@@ -1,0 +1,225 @@
+"""LatentGrid — SHACIRA's compressed multi-resolution latent hash grid.
+
+TPU-native re-design of ``wisp/models/grids/latent_grid.py`` (reference):
+a single concatenated multi-LOD latent table is quantized (STE/SGA) and
+decoded by a small learned decoder into hash-grid features; a learned entropy
+model (BitEstimator) provides the rate loss; size accounting entropy-codes the
+rounded latents.
+
+Differences from the reference born of the TPU design (not of semantics):
+  * the whole pipeline — quantize, decode, multi-LOD gather/interp — is one
+    jitted XLA program (the reference crosses the Python/CUDA boundary per
+    LOD);
+  * randomness (SGA sampling, rate-loss noise) is driven by explicit PRNG
+    keys threaded through ``interpolate``/``ent_loss``;
+  * occupancy for NeRF raymarching lives in a dense bitmask grid
+    (:mod:`shacira_tpu.accel.occupancy`) instead of a kaolin SPC octree.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shacira_tpu.ops.hashgrid import (
+    HashGridSpec, geometric_resolutions, octree_resolutions, hash_encode,
+)
+from shacira_tpu.ops import coding
+from shacira_tpu.models.latent_decoders import (
+    LatentDecoderConfig, latent_decoder_init, latent_decoder_apply,
+    latent_decoder_size_bits,
+)
+from shacira_tpu.models.prob_models import (
+    BitEstimatorConfig, bit_estimator_init, bit_estimator_apply, entropy_bits,
+)
+
+
+@dataclass(frozen=True)
+class LatentGridConfig:
+    """Static configuration (see reference LatentGrid.__init__, :32-120)."""
+    feature_dim: int
+    resolutions: Tuple[int, ...]
+    latent_dim: int = 0                   # 0 -> same as feature_dim (ref :81)
+    multiscale_type: str = 'sum'          # 'sum' | 'cat'
+    resolution_dim: int = 3
+    feature_std: float = 0.0
+    feature_bias: float = 0.0
+    codebook_bitwidth: int = 8
+    init_grid: str = 'normal'             # 'normal' | 'uniform'
+    ldec: Optional[LatentDecoderConfig] = None
+    num_prob_layers: int = 4
+    noise_freq: int = 1
+    entropy_enabled: bool = False
+
+    @property
+    def effective_latent_dim(self) -> int:
+        return self.feature_dim if self.latent_dim == 0 else self.latent_dim
+
+    @property
+    def spec(self) -> HashGridSpec:
+        return HashGridSpec(self.resolutions, self.codebook_bitwidth, self.resolution_dim)
+
+    @property
+    def num_lods(self) -> int:
+        return len(self.resolutions)
+
+    @property
+    def output_dim(self) -> int:
+        """Feature dim after multiscale aggregation."""
+        if self.multiscale_type == 'cat':
+            return self.feature_dim * self.num_lods
+        return self.feature_dim
+
+    @property
+    def prob_cfg(self) -> BitEstimatorConfig:
+        return BitEstimatorConfig(self.effective_latent_dim, self.num_prob_layers)
+
+    # -- constructors (reference :192-328) ---------------------------------
+    @classmethod
+    def from_geometric(cls, feature_dim, num_lods, min_grid_res, max_grid_res, **kw):
+        res = geometric_resolutions(min_grid_res, max_grid_res, num_lods)
+        return cls(feature_dim=feature_dim, resolutions=res, **kw)
+
+    @classmethod
+    def from_octree(cls, feature_dim, base_lod, num_lods, **kw):
+        return cls(feature_dim=feature_dim,
+                   resolutions=octree_resolutions(base_lod, num_lods), **kw)
+
+    def with_ldec(self, ldec_kwargs: dict) -> 'LatentGridConfig':
+        ldec = LatentDecoderConfig(latent_dim=self.effective_latent_dim,
+                                   feature_dim=self.feature_dim, **ldec_kwargs)
+        return replace(self, ldec=ldec)
+
+
+def latent_grid_init(rng, cfg: LatentGridConfig):
+    """Initialize codebook + decoder + entropy model params.
+
+    Codebook init mirrors latent_grid.py:98-112: per-LOD tables of size
+    ``min(2**bw, res**dim)`` filled with uniform(+-std) or normal(std) noise
+    around ``feature_bias``, then concatenated.
+    """
+    spec = cfg.spec
+    k_cb, k_dec, k_prob = jax.random.split(rng, 3)
+    ldim = cfg.effective_latent_dim
+    if cfg.init_grid == 'uniform':
+        cb = (jax.random.uniform(k_cb, (spec.total_size, ldim)) - 0.5) * 2 * cfg.feature_std
+    elif cfg.init_grid == 'normal':
+        cb = jax.random.normal(k_cb, (spec.total_size, ldim)) * cfg.feature_std
+    else:
+        raise ValueError(cfg.init_grid)
+    cb = cb + cfg.feature_bias
+    params = {'codebook': cb}
+    if cfg.ldec is not None:
+        params['latent_dec'] = latent_decoder_init(k_dec, cfg.ldec)
+        if cfg.entropy_enabled:
+            params['prob_model'] = bit_estimator_init(k_prob, cfg.prob_cfg)
+    return params
+
+
+def decode_codebook(params, cfg: LatentGridConfig, *,
+                    use_sga: bool = False, temperature: float = 1.0,
+                    rng: Optional[jax.Array] = None):
+    """Quantize + decode the full latent table -> feature table [T, F].
+
+    The reference likewise decodes the whole codebook per step
+    (latent_grid.py:359).  On TPU this is a small MXU matmul fused with the
+    quantizer — far cheaper than decoding gathered corners.
+    """
+    if cfg.ldec is None:
+        return params['codebook']
+    return latent_decoder_apply(params['latent_dec'], cfg.ldec, params['codebook'],
+                                use_sga=use_sga, temperature=temperature, rng=rng)
+
+
+def interpolate(params, cfg: LatentGridConfig, coords, *,
+                use_sga: bool = False, temperature: float = 1.0,
+                rng: Optional[jax.Array] = None,
+                lod_mask: Optional[jax.Array] = None,
+                decoded: Optional[jax.Array] = None):
+    """Query multiscale features at ``coords`` (reference interpolate, :340-382).
+
+    Args:
+        coords: [..., resolution_dim] in [-1, 1].
+        lod_mask: optional [num_lods] 0/1 mask (the reference's
+            RENDERING_FINAL env masks LODs above lod_idx, :372-375).
+        decoded: optionally pass a pre-decoded feature table (inference path —
+            the reference's valid-only mode decodes once and swaps in a
+            DecoderIdentity, main_image.py:591-600).
+    Returns:
+        [..., output_dim] features.
+    """
+    lead_shape = coords.shape[:-1]
+    coords = coords.reshape(-1, coords.shape[-1])
+    if decoded is None:
+        decoded = decode_codebook(params, cfg, use_sga=use_sga,
+                                  temperature=temperature, rng=rng)
+    feats = hash_encode(coords, decoded, cfg.spec)       # [N, L, F]
+    if lod_mask is not None:
+        feats = feats * lod_mask[None, :, None]
+    if cfg.multiscale_type == 'cat':
+        out = feats.reshape(feats.shape[0], -1)
+    elif cfg.multiscale_type == 'sum':
+        out = feats.sum(axis=1)
+    else:
+        raise NotImplementedError(cfg.multiscale_type)
+    return out.reshape(*lead_shape, out.shape[-1])
+
+
+def ent_loss(params, cfg: LatentGridConfig, noise, *, is_val: bool = False):
+    """Rate loss: (bits per latent entry, total bits).
+
+    Mirrors LatentGrid.ent_loss (latent_grid.py:122-136): estimate bits of
+    ``codebook + U(-.5,.5)`` noise (or ``round(codebook)`` at validation).
+    ``noise`` is carried in the train state and refreshed every ``noise_freq``
+    iterations by the trainer.
+    """
+    if 'prob_model' not in params:
+        return 0.0, 0.0
+    cb = params['codebook']
+    weight = jnp.round(cb) if is_val else cb + noise
+    total_bits = entropy_bits(params['prob_model'], cfg.prob_cfg, weight)
+    return total_bits / cb.shape[0], total_bits
+
+
+def grid_size_bits(params, cfg: LatentGridConfig, *, use_codec: bool = False,
+                   use_prob_model: bool = False):
+    """(decoder_bits, latent_bits): compressed size accounting.
+
+    Mirrors LatentGrid.size (latent_grid.py:138-174): per-latent-channel
+    entropy of the rounded codebook, from the histogram (or prob model CDF),
+    either as the information-theoretic estimate or a real arithmetic-coded
+    stream length.  Host-side.
+    """
+    if cfg.ldec is None:
+        # Uncompressed HashGrid: raw fp bits (hash_grid.py:101-102 in ref).
+        cb = params['codebook']
+        return 0, int(np.prod(cb.shape)) * np.finfo(np.dtype(cb.dtype)).bits
+    ldec_bits = latent_decoder_size_bits(params['latent_dec'])
+    cb = np.asarray(params['codebook'])
+    codebook_bits = 0.0
+    for c in range(cb.shape[1]):
+        w = np.round(cb[:, c]).astype(np.int64)
+        if use_prob_model:
+            uniq, counts = np.unique(w, return_counts=True)
+            pm = params['prob_model']
+            probs = np.asarray(
+                bit_estimator_apply(pm, cfg.prob_cfg, jnp.asarray(uniq + 0.5, jnp.float32), single_channel=c)
+                - bit_estimator_apply(pm, cfg.prob_cfg, jnp.asarray(uniq - 0.5, jnp.float32), single_channel=c))
+            if not use_codec:
+                info = np.clip(-np.log(probs + 1e-10) / np.log(2.0), 0, 1000)
+                codebook_bits += float(np.sum(info * counts))
+                continue
+        if use_codec:
+            codebook_bits += coding.coded_size_bits(w)
+        else:
+            codebook_bits += coding.entropy_bits_histogram(w)
+    return ldec_bits, codebook_bits
+
+
+def rounding_loss(params) -> jax.Array:
+    """mean |w - round(w)| diagnostic (ref image_trainer.py:170)."""
+    cb = params['codebook']
+    return jnp.mean(jnp.abs(cb - jnp.round(cb)))

@@ -1,0 +1,225 @@
+"""SHACIRA latent decoders: quantize latents + decode to features.
+
+TPU-native functional re-design of
+``wisp/models/latent_decoders/basic_latent_decoder.py`` (reference):
+parameters are explicit pytrees, quantization noise is driven by explicit JAX
+PRNG keys, and runtime switches (SGA on/off, temperature) are traced scalars /
+static args instead of module attributes — so one jitted train step covers the
+whole schedule.
+
+Math parity with the reference:
+  * STE round: ``StraightThrough`` (basic_latent_decoder.py:28-36).
+  * SGA (stochastic Gumbel annealing): floor/ceil logits
+    ``-tanh(clamp(w - floor(w)))/T`` fed to a relaxed one-hot categorical with
+    the same temperature (basic_latent_decoder.py:183-191).
+  * Decode: ``layers(round(w) / div)`` where each layer is
+    ``x @ scale + shift`` or the DFT variant ``(x @ dft) * scale + shift``
+    (DecoderLayer, basic_latent_decoder.py:48-95), followed by the final
+    activation and optional clamp (basic_latent_decoder.py:194-198).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPSILON = 1e-6
+
+
+def get_dft_matrix(conv_dim: int, channels: int) -> np.ndarray:
+    """DCT-II basis, identical to get_dft_matrix (basic_latent_decoder.py:12-19)."""
+    dft = np.zeros((conv_dim, channels), dtype=np.float32)
+    for i in range(conv_dim):
+        for j in range(channels):
+            v = math.cos(math.pi / channels * (i + 0.5) * j) / math.sqrt(channels)
+            dft[i, j] = v * (math.sqrt(2) if j > 0 else 1.0)
+    return dft
+
+
+def ste_round(x):
+    """Round with identity gradient (StraightThrough, ref :28-36)."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
+def ste_floor(x):
+    """Floor with identity gradient (StraightThroughFloor, ref :38-46)."""
+    return x + jax.lax.stop_gradient(jnp.floor(x) - x)
+
+
+def sga_quantize(x, temperature, rng, diff_sampling: bool):
+    """Stochastic Gumbel annealing quantization (ref :183-191).
+
+    ``floor``/``ceil`` logits are ``-tanh(clamp(dist))/T``; a relaxed one-hot
+    categorical with the same temperature mixes the two integers.  With
+    ``diff_sampling`` the sample is reparameterized (rsample), else gradients
+    flow only through the straight-through floor.
+    """
+    xf = jnp.floor(x) if diff_sampling else ste_floor(x)
+    xc = xf + 1.0
+    logits_f = -jnp.tanh(jnp.clip(x - xf, -1 + EPSILON, 1 - EPSILON)) / temperature
+    logits_c = -jnp.tanh(jnp.clip(xc - x, -1 + EPSILON, 1 - EPSILON)) / temperature
+    logits = jnp.stack([logits_f, logits_c], axis=-1)
+    gumbel = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)
+    sample = jax.nn.softmax((logits + gumbel) / temperature, axis=-1)
+    if not diff_sampling:
+        sample = jax.lax.stop_gradient(sample)
+    return xf * sample[..., 0] + xc * sample[..., 1]
+
+
+_ACTIVATIONS = {
+    'none': lambda x: x,
+    'sigmoid': jax.nn.sigmoid,
+    'tanh': jnp.tanh,
+    'relu': jax.nn.relu,
+    'sine': lambda x: jnp.sin(30.0 * x),  # SineScaled(30), ref :131
+}
+
+
+@dataclass(frozen=True)
+class LatentDecoderConfig:
+    """Static configuration for :func:`latent_decoder_init` / ``apply``."""
+    latent_dim: int
+    feature_dim: int
+    norm: str = 'none'                # 'none' | 'max' | 'std' (recalibration target)
+    ldecode_matrix: str = 'sq'        # 'sq' | 'dft' | 'dft_fixed'
+    use_shift: bool = True
+    num_layers_dec: int = 0
+    hidden_dim_dec: int = 0
+    activation: str = 'none'
+    final_activation: str = 'none'
+    clamp_weights: float = 0.0
+    ldec_std: float = 1.0
+    use_sga: bool = False
+    diff_sampling: bool = False
+
+    def layer_dims(self) -> Tuple[Tuple[int, int], ...]:
+        """(in, out) per DecoderLayer, mirroring ref :137-145."""
+        dims = []
+        latent = self.latent_dim
+        hidden = self.hidden_dim_dec if self.hidden_dim_dec else self.feature_dim
+        for _ in range(self.num_layers_dec):
+            out = hidden if hidden else latent
+            dims.append((latent, out))
+            latent = out
+        dims.append((latent, self.feature_dim))
+        return tuple(dims)
+
+
+def latent_decoder_init(rng, cfg: LatentDecoderConfig):
+    """Initialize parameters.
+
+    Returns a dict:
+      ``layers``: list of per-layer dicts with ``scale`` (+ ``dft`` buffer for
+      DFT variants, + ``shift`` when ``use_shift``).
+      ``div``: [latent_dim] norm divisor (non-trainable; recalibrated by the
+      trainer, ref image_trainer.py:284-296).
+    """
+    layers = []
+    keys = jax.random.split(rng, len(cfg.layer_dims()))
+    for k, (din, dout) in zip(keys, cfg.layer_dims()):
+        layer = {}
+        if 'dft' in cfg.ldecode_matrix:
+            layer['dft'] = jnp.asarray(get_dft_matrix(din, dout))
+            layer['scale'] = jax.random.normal(k, (1, dout)) * cfg.ldec_std
+        else:
+            layer['scale'] = jax.random.normal(k, (din, dout)) * cfg.ldec_std
+        if cfg.use_shift:
+            layer['shift'] = jnp.zeros((1, dout))
+        layers.append(layer)
+    return {'layers': layers, 'div': jnp.ones((cfg.latent_dim,))}
+
+
+def _decoder_layers_apply(params, cfg: LatentDecoderConfig, x):
+    act = _ACTIVATIONS[cfg.activation]
+    n = len(params['layers'])
+    for i, layer in enumerate(params['layers']):
+        if 'dft' in cfg.ldecode_matrix:
+            x = jnp.matmul(x, layer['dft']) * layer['scale']
+        else:
+            x = jnp.matmul(x, layer['scale'])
+        if 'shift' in layer:
+            x = x + layer['shift']
+        if i < n - 1:
+            x = act(x)
+    return x
+
+
+def latent_decoder_apply(params, cfg: LatentDecoderConfig, weight, *,
+                         use_sga: bool = False,
+                         temperature: float = 1.0,
+                         rng: Optional[jax.Array] = None):
+    """Quantize + decode latents (ref forward, :182-198).
+
+    Args:
+        weight: [T, latent_dim] raw (continuous) latents.
+        use_sga: when True (and training), quantize with SGA; else STE round.
+        temperature: SGA temperature (traced scalar ok).
+        rng: PRNG key, required when ``use_sga``.
+    Returns:
+        [T, feature_dim] decoded features.
+    """
+    if use_sga:
+        assert rng is not None, 'SGA quantization requires a PRNG key'
+        w = sga_quantize(weight, temperature, rng, cfg.diff_sampling)
+    else:
+        w = ste_round(weight)
+    out = _decoder_layers_apply(params, cfg, w / params['div'])
+    out = _ACTIVATIONS[cfg.final_activation](out)
+    if cfg.clamp_weights > 0.0:
+        out = jnp.clip(out, -cfg.clamp_weights, cfg.clamp_weights)
+    return out
+
+
+def latent_decoder_size_bits(params) -> int:
+    """fp bits of decoder params (ref size(), :167-168). Excludes buffers? No:
+    the reference counts every parameter incl. the frozen ``div`` vector and
+    fixed DFT basis registered as Parameters."""
+    total = 0
+    for layer in params['layers']:
+        for v in layer.values():
+            total += int(np.prod(v.shape)) * np.finfo(np.dtype(v.dtype)).bits
+    total += int(np.prod(params['div'].shape)) * np.finfo(np.dtype(params['div'].dtype)).bits
+    return total
+
+
+def scale_norm(params) -> jax.Array:
+    """Frobenius norm of the single decode matrix (ref :170-174).
+
+    Only valid for 0-hidden-layer decoders; used by the trainer to rescale the
+    grid learning rate.
+    """
+    return jnp.linalg.norm(params['layers'][0]['scale'])
+
+
+def recalibrate_div(params, latents, norm: str):
+    """Return params with ``div`` recalibrated from current latents.
+
+    Mirrors image_trainer.py:284-296: 'max' -> per-channel
+    max(|min|, |max|), 'std' -> per-channel std.
+    """
+    if norm == 'max':
+        new_div = jnp.maximum(jnp.abs(latents.min(axis=0)), jnp.abs(latents.max(axis=0)))
+    elif norm == 'std':
+        new_div = latents.std(axis=0)
+    elif norm == 'none':
+        return params
+    else:
+        raise ValueError(f'unknown norm {norm}')
+    return {**params, 'div': new_div}
+
+
+# ---------------------------------------------------------------------------
+# Identity decoder (uncompressed path / post-decode inference), ref :202-228.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DecoderIdentityConfig:
+    latent_dim: int = 1
+
+
+def decoder_identity_apply(params, cfg, weight, **_):
+    return weight

@@ -1,0 +1,148 @@
+"""NeuralRadianceField — 3D coords + view dirs -> RGB + density.
+
+Equivalent of ``wisp/models/nefs/nerf.py:19-265`` (reference):
+grid features -> density MLP (16 outputs, output bias[0] init 1.0,
+density = relu(feats[..., 0:1])) -> color MLP on [density feats ⊕
+PE(-ray_d)] -> sigmoid.  Pruning updates the dense occupancy grid instead of
+rebuilding an octree.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from shacira_tpu.models.grids import latent_grid as lg
+from shacira_tpu.models import mlp as mlp_mod
+from shacira_tpu.models.embedders import PositionalEmbedderConfig, positional_embed
+from shacira_tpu.models.mlp import MLPConfig, mlp_init, mlp_apply
+from shacira_tpu.accel import occupancy as occ
+
+
+@dataclass(frozen=True)
+class NeuralRadianceFieldConfig:
+    grid: lg.LatentGridConfig
+    hidden_dim: int = 128
+    num_layers: int = 1
+    activation: str = 'relu'
+    pos_embedder: str = 'none'
+    view_embedder: str = 'none'       # 'none' | 'identity' | 'positional'
+    pos_multires: int = 10
+    view_multires: int = 4
+    position_input: bool = False
+    # pruning (ref nerf.py:87-90)
+    prune_density_decay: float = 0.6
+    prune_min_density: float = 2.956  # ((0.01 * 512)/sqrt(3)) style defaults come from configs
+    blas_level: int = 7
+
+    @property
+    def pos_embed_dim(self) -> int:
+        if self.pos_embedder == 'positional':
+            return PositionalEmbedderConfig(self.pos_multires, 3,
+                                            include_input=self.position_input).output_dim
+        if self.pos_embedder == 'identity' or (self.pos_embedder == 'none' and self.position_input):
+            return 3
+        return 0
+
+    @property
+    def view_embed_dim(self) -> int:
+        if self.view_embedder == 'positional':
+            # view embedder always includes input (ref nerf.py:98-99)
+            return PositionalEmbedderConfig(self.view_multires, 3,
+                                            include_input=True).output_dim
+        if self.view_embedder in ('identity', 'none'):
+            # 'none' with include_input=True behaves like identity (ref :119)
+            return 3
+        return 0
+
+    @property
+    def density_mlp_cfg(self) -> MLPConfig:
+        return MLPConfig(input_dim=self.grid.output_dim + self.pos_embed_dim,
+                         output_dim=16, hidden_dim=self.hidden_dim,
+                         num_layers=self.num_layers, activation=self.activation)
+
+    @property
+    def color_mlp_cfg(self) -> MLPConfig:
+        return MLPConfig(input_dim=16 + self.view_embed_dim, output_dim=3,
+                         hidden_dim=self.hidden_dim,
+                         num_layers=self.num_layers + 1, activation=self.activation)
+
+    @property
+    def occ_cfg(self) -> occ.OccupancyGridConfig:
+        return occ.OccupancyGridConfig(self.blas_level)
+
+
+def nerf_init(rng, cfg: NeuralRadianceFieldConfig):
+    kg, kd, kc = jax.random.split(rng, 3)
+    density = mlp_init(kd, cfg.density_mlp_cfg)
+    # reference inits the first density output bias to 1.0 (nerf.py:138)
+    b = density['layers'][-1]['b']
+    density['layers'][-1]['b'] = b.at[0].set(1.0)
+    return {
+        'grid': lg.latent_grid_init(kg, cfg.grid),
+        'decoder_density': density,
+        'decoder_color': mlp_init(kc, cfg.color_mlp_cfg),
+    }
+
+
+def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
+              use_sga: bool = False, temperature: float = 1.0,
+              rng: Optional[jax.Array] = None,
+              decoded: Optional[jax.Array] = None):
+    """coords [..., 3], ray_d [..., 3] -> (rgb [..., 3], density [..., 1]).
+
+    Mirrors NeuralRadianceField.rgba (nerf.py:192-234) incl. the negated view
+    direction fed to the view embedder (:222).
+    """
+    feats = lg.interpolate(params['grid'], cfg.grid, coords,
+                           use_sga=use_sga, temperature=temperature, rng=rng,
+                           decoded=decoded)
+    if cfg.pos_embed_dim:
+        if cfg.pos_embedder == 'positional':
+            emb = positional_embed(PositionalEmbedderConfig(
+                cfg.pos_multires, 3, include_input=cfg.position_input), coords)
+        else:
+            emb = coords
+        feats = jnp.concatenate([feats, emb], axis=-1)
+    density_feats = mlp_apply(params['decoder_density'], cfg.density_mlp_cfg, feats)
+
+    if cfg.view_embed_dim:
+        if cfg.view_embedder == 'positional':
+            vemb = positional_embed(PositionalEmbedderConfig(
+                cfg.view_multires, 3, include_input=True), -ray_d)
+        else:
+            vemb = -ray_d
+        fdir = jnp.concatenate([density_feats, vemb], axis=-1)
+    else:
+        fdir = density_feats
+    colors = jax.nn.sigmoid(mlp_apply(params['decoder_color'], cfg.color_mlp_cfg, fdir))
+    density = jax.nn.relu(density_feats[..., 0:1])
+    return colors, density
+
+
+def nerf_density(params, cfg: NeuralRadianceFieldConfig, coords, **kw):
+    """Density only (used by pruning)."""
+    _, density = nerf_rgba(params, cfg, coords,
+                           jnp.zeros_like(coords), **kw)
+    return density
+
+
+def prune(params, cfg: NeuralRadianceFieldConfig, occ_state, rng):
+    """One NGP pruning step on the dense occupancy grid (ref nerf.py:150-185).
+
+    Decay each cell's tracked density, sample one jittered point per cell,
+    query the field's density (with rounded/eval-mode latents), take the max,
+    and threshold.
+    """
+    pts = occ.cell_centers_jittered(cfg.occ_cfg, rng)
+    density = nerf_density(params, cfg, pts)[..., 0]
+    return occ.prune_update(occ_state, cfg.occ_cfg, density,
+                            density_decay=cfg.prune_density_decay,
+                            min_density=cfg.prune_min_density)
+
+
+def non_grid_size_bits(params) -> int:
+    return (mlp_mod.mlp_size_bits(params['decoder_density'])
+            + mlp_mod.mlp_size_bits(params['decoder_color']))

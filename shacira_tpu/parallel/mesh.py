@@ -1,0 +1,62 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed support at all (SURVEY §2.11).  Here
+parallelism is a first-class design axis:
+
+* **data axis**: rays / pixels are sharded across chips — each sample is
+  independent (no halo exchange), so this is the SP/DP axis.
+* **parameters** (codebook, decoders, prob model) are replicated; XLA inserts
+  gradient ``psum`` automatically when a jitted step consumes sharded batch
+  inputs and produces replicated parameter updates.
+* multi-host execution: ``jax.distributed.initialize`` + the same mesh built
+  over all processes' devices; collectives ride ICI within a slice.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (sample) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
+    """Pad axis to a multiple (for even sharding). Returns (padded, orig_len)."""
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return np.pad(x, pad, mode='edge'), n
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """device_put arrays with the batch sharding (first axis must divide)."""
+    sh = batch_sharding(mesh)
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

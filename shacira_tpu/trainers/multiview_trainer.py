@@ -1,0 +1,316 @@
+"""Multiview (NeRF) trainer.
+
+TPU-native re-design of ``wisp/trainers/multiview_trainer.py`` (reference):
+chunks of train steps run on-device under ``lax.scan`` with presampled ray
+batches stacked into scan inputs; NGP-style pruning updates the dense
+occupancy grid between chunks (the reference rebuilds a kaolin octree,
+multiview_trainer.py:60-68 + nerf.py:150-185).
+
+Reference semantics preserved:
+  * loss = rgb_weight * L1(rgb) + λ * avg_bits (multiview_trainer.py:105-114)
+  * pruning every ``prune_every`` iterations (:60-68) with density decay 0.6
+    and min density 0.01*512/sqrt(3) (main_nerf.py:140-143)
+  * grid-lr scaling by decoder scale-norm (:120-140)
+  * PSNR (and SSIM) full-image evaluation (:177-235)
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shacira_tpu.core.rays import Rays, make_rays
+from shacira_tpu.core.schedulers import DecayScheduler
+from shacira_tpu.accel import occupancy as occ
+from shacira_tpu.models.grids import latent_grid as lg
+from shacira_tpu.models.latent_decoders import scale_norm
+from shacira_tpu.models.nefs import nerf as nerf_mod
+from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+from shacira_tpu.tracers import rf_tracer
+from shacira_tpu.ops.image import clamped_psnr, psnr as float_psnr, ssim
+from shacira_tpu import optim
+
+
+@dataclass
+class MultiviewTrainerConfig:
+    epochs: int = 300
+    rgb_loss_weight: float = 1.0
+    # optimizer (nerf_lego.yaml)
+    optimizer_type: str = 'adam'
+    lr: float = 0.0005
+    grid_lr: float = 0.02
+    ldec_lr: float = 0.01
+    scale_grid_lr: str = 'div'
+    weight_decay: float = 0.0
+    weight_decay_decoder: float = 0.0
+    ldec_lr_warmup: int = 5
+    # schedules
+    use_sga: bool = True
+    decay_period: float = 0.9
+    temperature: float = 1.0
+    entropy_reg: float = 1e-4
+    entropy_reg_end: float = 1e-4
+    entropy_reg_sched: str = 'cosine'
+    noise_freq: int = 1
+    # pruning
+    prune_every: int = 100          # iterations (-1 disables)
+    # execution
+    chunk_size: int = 100
+    log_every: int = 10             # epochs
+
+
+class MultiviewTrainer:
+    def __init__(self, cfg: MultiviewTrainerConfig,
+                 model_cfg: NeuralRadianceFieldConfig,
+                 tracer_cfg: rf_tracer.RFTracerConfig,
+                 dataset, num_rays: int, seed: int = 0):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.tracer_cfg = tracer_cfg
+        self.dataset = dataset
+        self.num_rays = num_rays
+        self.rng = jax.random.PRNGKey(seed)
+        self.np_rng = np.random.RandomState(seed)
+
+        self.rng, k_init = jax.random.split(self.rng)
+
+        def _init(k):
+            params = nerf_mod.nerf_init(k, model_cfg)
+            return (params, optim.adam_init(params),
+                    jnp.zeros_like(params['grid']['codebook']),
+                    occ.occupancy_init(model_cfg.occ_cfg, occupied=True))
+
+        (self.params, self.opt_state, self.noise,
+         self.occ_state) = jax.jit(_init)(k_init)
+        self.labels = optim.label_params(self.params, optim.shacira_label_fn)
+
+        gcfg = model_cfg.grid
+        self.ldecode_enabled = gcfg.ldec is not None
+        self.entropy_enabled = self.ldecode_enabled and gcfg.entropy_enabled
+
+        # iterations = epochs * views (batch_size 1 view per iter in reference)
+        self.iters_per_epoch = dataset.num_views
+        total_epochs = cfg.epochs
+        self.entropy_reg_sched = DecayScheduler(
+            total_epochs, cfg.entropy_reg_sched, cfg.entropy_reg, cfg.entropy_reg_end,
+            params={'decay_period': cfg.decay_period, 'temperature': cfg.temperature})
+        self.temperature_sched = DecayScheduler(
+            total_epochs, 'exp', 1.0, cfg.temperature,
+            params={'temperature': cfg.temperature, 'decay_period': cfg.decay_period})
+        self.ldec_lr_sched = DecayScheduler(
+            cfg.ldec_lr_warmup, 'linear', 0.1 * cfg.ldec_lr, cfg.ldec_lr)
+
+        self.iteration = 0
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+    def _raw_step(self, use_sga: bool):
+        cfg, mcfg, tcfg = self.cfg, self.model_cfg, self.tracer_cfg
+        gcfg = mcfg.grid
+        wd = {'decoder': 0.0, 'grid': cfg.weight_decay,
+              'latent_dec': cfg.weight_decay_decoder,
+              'prob_models': cfg.weight_decay_decoder, 'rest': 0.0}
+        decoupled = cfg.optimizer_type == 'adamw'
+        labels = self.labels
+        entropy_on = self.entropy_enabled
+        dist_min, dist_max = self.dataset.dist_min, self.dataset.dist_max
+
+        def step(params, opt_state, noise, occ_state, rays_o, rays_d, gt, rng,
+                 ent_lambda, temperature, lr_ldec, refresh_noise):
+            k_sga, k_noise, k_march = jax.random.split(rng, 3)
+            if entropy_on:
+                fresh = jax.random.uniform(k_noise, noise.shape) - 0.5
+                noise = jnp.where(refresh_noise, fresh, noise)
+
+            rays = make_rays(rays_o, rays_d, dist_min, dist_max)
+
+            def loss_fn(p):
+                decoded = lg.decode_codebook(
+                    p['grid'], gcfg, use_sga=use_sga,
+                    temperature=temperature, rng=k_sga)
+
+                def field_fn(coords, dirs):
+                    return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
+                                              decoded=decoded)
+
+                rb = rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
+                                     tcfg, rays, k_march)
+                rgb_loss = jnp.mean(jnp.abs(rb['rgb'] - gt))   # L1, ref :105-107
+                loss = cfg.rgb_loss_weight * rgb_loss
+                aux = {'rgb_loss': rgb_loss, 'rgb': rb['rgb']}
+                if entropy_on:
+                    avg_bits, total_bits = lg.ent_loss(p['grid'], gcfg, noise)
+                    loss = loss + ent_lambda * avg_bits
+                    aux['ent_loss'] = ent_lambda * avg_bits
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+            lr_grid = jnp.asarray(cfg.grid_lr, jnp.float32)
+            if self.ldecode_enabled and cfg.scale_grid_lr != 'none':
+                norm = scale_norm(params['grid']['latent_dec'])
+                lr_grid = (lr_grid * norm if cfg.scale_grid_lr == 'mul'
+                           else lr_grid / norm)
+            lrs = {'decoder': jnp.asarray(cfg.lr, jnp.float32), 'grid': lr_grid,
+                   'latent_dec': lr_ldec,
+                   'prob_models': jnp.asarray(1e-4, jnp.float32),
+                   'rest': jnp.asarray(cfg.lr, jnp.float32)}
+            params, opt_state = optim.adam_update(
+                grads, opt_state, params, labels, lrs, wd, decoupled=decoupled)
+            metrics = {'loss': loss, 'rgb_loss': aux['rgb_loss'],
+                       'psnr': float_psnr(aux['rgb'], gt)}
+            return params, opt_state, noise, metrics
+
+        return step
+
+    def _get_chunk_fn(self, use_sga: bool):
+        key = ('chunk', use_sga)
+        if key in self._fns:
+            return self._fns[key]
+        step = self._raw_step(use_sga)
+
+        def run_chunk(params, opt_state, noise, occ_state, xs):
+            def body(carry, x):
+                params, opt_state, noise = carry
+                params, opt_state, noise, metrics = step(
+                    params, opt_state, noise, occ_state,
+                    x['rays_o'], x['rays_d'], x['gt'], x['rng'],
+                    x['ent_lambda'], x['temperature'], x['lr_ldec'],
+                    x['refresh_noise'])
+                return (params, opt_state, noise), metrics
+
+            return jax.lax.scan(body, (params, opt_state, noise), xs)
+
+        fn = jax.jit(run_chunk, donate_argnums=(0, 1, 2))
+        self._fns[key] = fn
+        return fn
+
+    def _get_prune_fn(self):
+        if 'prune' not in self._fns:
+            self._fns['prune'] = jax.jit(
+                lambda params, occ_state, rng: nerf_mod.prune(
+                    params, self.model_cfg, occ_state, rng))
+        return self._fns['prune']
+
+    # ------------------------------------------------------------------
+    def _presample(self, n: int):
+        """Host-side ray batch presampling for one chunk (one view per step)."""
+        d = self.dataset
+        ro = np.empty((n, self.num_rays, 3), np.float32)
+        rd = np.empty((n, self.num_rays, 3), np.float32)
+        gt = np.empty((n, self.num_rays, 3), np.float32)
+        for i in range(n):
+            v = self.np_rng.randint(d.num_views)
+            idx = self.np_rng.randint(0, d.rgb.shape[1], size=self.num_rays)
+            ro[i] = d.rays_o[v, idx]
+            rd[i] = d.rays_d[v, idx]
+            gt[i] = d.rgb[v, idx]
+        return ro, rd, gt
+
+    def _epoch_of(self, it: int) -> int:
+        return it // self.iters_per_epoch + 1
+
+    def train(self, num_iterations: Optional[int] = None, log_fn=None):
+        cfg = self.cfg
+        total = (num_iterations if num_iterations is not None
+                 else cfg.epochs * self.iters_per_epoch)
+        t0 = time.time()
+        done = 0
+        while done < total:
+            it0 = self.iteration + 1
+            n = min(cfg.chunk_size, total - done)
+            if cfg.prune_every > 0:
+                # stop chunk at the next prune boundary
+                next_prune = ((self.iteration // cfg.prune_every) + 1) * cfg.prune_every
+                n = min(n, next_prune - self.iteration)
+            e0 = self._epoch_of(it0)
+            use_sga = (self.ldecode_enabled and cfg.use_sga
+                       and (e0 / cfg.epochs) <= cfg.decay_period)
+
+            epochs = np.asarray([self._epoch_of(it) for it in range(it0, it0 + n)])
+            xs = {
+                'ent_lambda': jnp.asarray([self.entropy_reg_sched(e) for e in epochs],
+                                          jnp.float32),
+                'temperature': jnp.asarray([self.temperature_sched(e) for e in epochs],
+                                           jnp.float32),
+                'lr_ldec': jnp.asarray([self.ldec_lr_sched(e) for e in epochs],
+                                       jnp.float32),
+                'refresh_noise': jnp.asarray(
+                    (np.arange(it0 - 1, it0 - 1 + n) % max(cfg.noise_freq, 1)) == 0),
+            }
+            self.rng, k = jax.random.split(self.rng)
+            xs['rng'] = jax.random.split(k, n)
+            ro, rd, gt = self._presample(n)
+            xs['rays_o'] = jnp.asarray(ro)
+            xs['rays_d'] = jnp.asarray(rd)
+            xs['gt'] = jnp.asarray(gt)
+
+            run = self._get_chunk_fn(use_sga)
+            (self.params, self.opt_state, self.noise), metrics = run(
+                self.params, self.opt_state, self.noise, self.occ_state, xs)
+            self.iteration += n
+            done += n
+
+            if (cfg.prune_every > 0 and self.iteration > 1
+                    and self.iteration % cfg.prune_every == 0):
+                self.rng, k = jax.random.split(self.rng)
+                self.occ_state = self._get_prune_fn()(self.params, self.occ_state, k)
+
+            if log_fn:
+                log_fn({'iteration': self.iteration,
+                        'epoch': self._epoch_of(self.iteration),
+                        'rgb_loss': float(np.asarray(metrics['rgb_loss'][-1:])[0]),
+                        'psnr': float(np.asarray(metrics['psnr'][-1:])[0]),
+                        'occupancy': float(np.asarray(
+                            jnp.mean(self.occ_state['occ'])[None])[0]),
+                        'elapsed': time.time() - t0})
+        return {'iterations': self.iteration,
+                'elapsed': time.time() - t0}
+
+    # ------------------------------------------------------------------
+    def render_view(self, view_idx: int, ray_batch: int = 4096,
+                    rng=None) -> np.ndarray:
+        """Render one dataset view (eval mode: rounded latents)."""
+        d = self.dataset
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        mcfg, tcfg = self.model_cfg, self.tracer_cfg
+
+        @jax.jit
+        def render_batch(params, occ_state, ro, rd, k):
+            decoded = lg.decode_codebook(params['grid'], mcfg.grid)
+
+            def field_fn(coords, dirs):
+                return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
+                                          decoded=decoded)
+
+            rays = make_rays(ro, rd, d.dist_min, d.dist_max)
+            return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
+                                   tcfg, rays, k)['rgb']
+
+        npix = d.rgb.shape[1]
+        out = np.zeros((npix, 3), np.float32)
+        for s in range(0, npix, ray_batch):
+            e = min(s + ray_batch, npix)
+            ro = jnp.asarray(d.rays_o[view_idx, s:e])
+            rd = jnp.asarray(d.rays_d[view_idx, s:e])
+            rng, k = jax.random.split(rng)
+            out[s:e] = np.asarray(render_batch(self.params, self.occ_state,
+                                               ro, rd, k))
+        return out.reshape(d.h, d.w, 3)
+
+    def evaluate(self, view_indices=None) -> Dict[str, float]:
+        """PSNR/SSIM over views (ref evaluate_metrics, :177-235)."""
+        d = self.dataset
+        if view_indices is None:
+            view_indices = range(d.num_views)
+        psnrs, ssims = [], []
+        for v in view_indices:
+            pred = self.render_view(v)
+            gtv = d.rgb[v].reshape(d.h, d.w, 3)
+            psnrs.append(float(float_psnr(jnp.asarray(pred), jnp.asarray(gtv))))
+            ssims.append(float(ssim(pred, gtv)))
+        return {'psnr': float(np.mean(psnrs)), 'ssim': float(np.mean(ssims))}

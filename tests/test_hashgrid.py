@@ -1,0 +1,128 @@
+"""Hash-grid encoding: equivalence with an independent NumPy oracle that
+follows the reference CUDA semantics (hashgrid_interpolate_cuda.cu), plus
+gradient checks for the custom VJP."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shacira_tpu.ops.hashgrid import (
+    HashGridSpec, hash_encode, hash_encode_naive, geometric_resolutions,
+    use_direct_index, PRIMES,
+)
+
+
+def numpy_oracle(coords, codebook, spec: HashGridSpec):
+    """Straight NumPy transcription of the reference kernel's math."""
+    N = coords.shape[0]
+    F = codebook.shape[1]
+    dim = spec.dim
+    out = np.zeros((N, spec.num_lods, F), np.float32)
+    for lod, res in enumerate(spec.resolutions):
+        table = codebook[spec.lod_first_idx[lod]: spec.lod_first_idx[lod] + spec.lod_sizes[lod]]
+        for i in range(N):
+            x = np.clip(res * (coords[i] * 0.5 + 0.5), 0, res - 1 - 1e-5)
+            pos = np.floor(x).astype(np.int64)
+            frac = x - pos
+            acc = np.zeros(F, np.float32)
+            for j in range(2 ** dim):
+                corner = pos.copy()
+                w = 1.0
+                for d in range(dim):
+                    bit = (j >> (dim - 1 - d)) & 1
+                    corner[d] += bit
+                    w *= frac[d] if bit else (1 - frac[d])
+                if use_direct_index(res, spec.codebook_size, dim):
+                    idx = 0
+                    for d in range(dim):
+                        idx += corner[d] * res ** d
+                else:
+                    h = np.uint32(0)
+                    for d in range(dim):
+                        h ^= np.uint32((int(corner[d]) * PRIMES[d]) & 0xFFFFFFFF)
+                    idx = int(h) % spec.codebook_size
+                acc += table[idx] * w
+            out[i, lod] = acc
+    return out
+
+
+@pytest.mark.parametrize('dim,bw,res_list', [
+    (2, 4, (3, 7, 16, 33)),       # mixes direct-index and hashed LODs
+    (3, 5, (2, 4, 9, 17)),
+    (2, 11, geometric_resolutions(16, 512, 6)),
+])
+def test_forward_matches_oracle(dim, bw, res_list):
+    spec = HashGridSpec(tuple(res_list), bw, dim)
+    rng = np.random.RandomState(0)
+    coords = rng.uniform(-1, 1, (64, dim)).astype(np.float32)
+    cb = rng.randn(spec.total_size, 2).astype(np.float32)
+    got = np.asarray(hash_encode(jnp.asarray(coords), jnp.asarray(cb), spec))
+    want = numpy_oracle(coords, cb, spec)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_boundary_coords():
+    """Coords exactly at -1/1 must clamp, not index out of bounds."""
+    spec = HashGridSpec((4, 16), 4, 2)
+    coords = jnp.asarray([[-1.0, -1.0], [1.0, 1.0], [0.0, 1.0]])
+    cb = jnp.ones((spec.total_size, 2))
+    out = hash_encode(coords, cb, spec)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+def test_custom_vjp_matches_autodiff():
+    spec = HashGridSpec((3, 8, 21), 4, 3)
+    rng = np.random.RandomState(1)
+    coords = jnp.asarray(rng.uniform(-1, 1, (32, 3)).astype(np.float32))
+    cb = jnp.asarray(rng.randn(spec.total_size, 4).astype(np.float32))
+
+    def loss_custom(cb):
+        return jnp.sum(jnp.sin(hash_encode(coords, cb, spec)))
+
+    def loss_naive(cb):
+        return jnp.sum(jnp.sin(hash_encode_naive(coords, cb, spec)))
+
+    g1 = jax.grad(loss_custom)(cb)
+    g2 = jax.grad(loss_naive)(cb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_grad_scatter_accumulates():
+    """Two coords hitting the same cell must accumulate gradients (the
+    reference uses atomicAdd; ours must sum, deterministically)."""
+    spec = HashGridSpec((4,), 8, 2)
+    coords = jnp.asarray([[-0.99, -0.99], [-0.99, -0.99]])
+    cb = jnp.zeros((spec.total_size, 2))
+    g = jax.grad(lambda c: jnp.sum(hash_encode(coords, c, spec)))(cb)
+    # each coord maps to x=0.02 -> corner (0,0) weight (1-0.02)^2; two coords sum
+    assert np.asarray(g)[0, 0] == pytest.approx(2 * 0.98 ** 2, rel=1e-3)
+
+
+def test_jit_and_lod_layout():
+    spec = HashGridSpec((5, 9), 6, 2)
+    coords = jnp.zeros((8, 2))
+    cb = jnp.arange(spec.total_size * 3, dtype=jnp.float32).reshape(-1, 3)
+    out = jax.jit(lambda c, t: hash_encode(c, t, spec))(coords, cb)
+    assert out.shape == (8, 2, 3)
+
+
+def test_static_plan_matches_dynamic():
+    """Static-coords plan (precomputed gather + transpose backward) must
+    reproduce the dynamic path exactly, fwd and bwd."""
+    from shacira_tpu.ops.hashgrid import build_static_plan, static_hash_encode
+    spec = HashGridSpec((5, 9, 33), 6, 2)
+    rng = np.random.RandomState(3)
+    coords = rng.uniform(-1, 1, (200, 2)).astype(np.float32)
+    cb = jnp.asarray(rng.randn(spec.total_size, 2).astype(np.float32))
+    meta, arrays = build_static_plan(coords, spec)
+    arrays = jax.tree.map(jnp.asarray, arrays)
+
+    out_static = static_hash_encode(arrays, cb, meta)
+    out_dyn = hash_encode(jnp.asarray(coords), cb, spec)
+    np.testing.assert_allclose(np.asarray(out_static), np.asarray(out_dyn),
+                               rtol=1e-5, atol=1e-6)
+
+    g1 = jax.grad(lambda c: jnp.sum(jnp.sin(static_hash_encode(arrays, c, meta))))(cb)
+    g2 = jax.grad(lambda c: jnp.sum(jnp.sin(hash_encode(jnp.asarray(coords), c, spec))))(cb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,93 @@
+"""End-to-end image INR smoke/convergence tests (tiny, CPU-runnable).
+
+Mirrors the reference test strategy gap (SURVEY §4): quality metrics as
+ground truth — a tiny image must converge and the size accounting must be
+self-consistent."""
+import jax
+import numpy as np
+import pytest
+
+from shacira_tpu.datasets.image import ImageDataset, pixel_coords, index_to_coords
+from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+from shacira_tpu.models.latent_decoders import LatentDecoderConfig
+from shacira_tpu.models.nefs.image import NeuralImageConfig
+from shacira_tpu.trainers.image_trainer import ImageTrainer, ImageTrainerConfig
+
+
+def tiny_image(h=24, w=32):
+    rng = np.random.RandomState(0)
+    y, x = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing='ij')
+    img = np.stack([0.5 + 0.5 * np.sin(6 * x),
+                    0.5 + 0.5 * np.cos(4 * y),
+                    0.5 * (x + y)], axis=-1).astype(np.float32)
+    return img
+
+
+def make_model_cfg(compressed=True):
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=1, num_lods=6, min_grid_res=4, max_grid_res=32,
+        latent_dim=1, multiscale_type='cat', resolution_dim=2,
+        feature_std=0.1, codebook_bitwidth=7, init_grid='uniform',
+        num_prob_layers=2, entropy_enabled=compressed)
+    if compressed:
+        grid = grid.with_ldec(dict(
+            norm='max', ldecode_matrix='sq', use_shift=True,
+            ldec_std=0.1, use_sga=True, diff_sampling=True))
+    return NeuralImageConfig(grid=grid, hidden_dim=16, num_layers=1)
+
+
+def test_image_inr_converges():
+    ds = ImageDataset(tiny_image(), sample_mode='full')
+    cfg = ImageTrainerConfig(
+        epochs=300, use_sga=True, decay_period=0.9, temperature=0.1,
+        norm='max', norm_every=10, entropy_reg=1e-3, entropy_reg_end=1e-4,
+        log_every=100)
+    trainer = ImageTrainer(cfg, make_model_cfg(), ds, seed=0)
+    out = trainer.train()
+    assert out['PSNR'] > 20.0, f'PSNR too low: {out}'
+    assert out['BPP'] > 0
+    assert np.isfinite(out['total_size_kb'])
+
+
+def test_uncompressed_hashgrid_path():
+    """ldec disabled -> plain NGP hash grid, raw fp size accounting."""
+    ds = ImageDataset(tiny_image(), sample_mode='full')
+    cfg = ImageTrainerConfig(epochs=150, log_every=-1, entropy_reg=0.0)
+    trainer = ImageTrainer(cfg, make_model_cfg(compressed=False), ds, seed=0)
+    out = trainer.train()
+    assert out['PSNR'] > 22.0, f'PSNR too low: {out}'
+
+
+def test_render_shape_and_range():
+    ds = ImageDataset(tiny_image(), sample_mode='full')
+    trainer = ImageTrainer(ImageTrainerConfig(epochs=5, log_every=-1),
+                           make_model_cfg(), ds, seed=0)
+    trainer.train()
+    img = trainer.render()
+    assert img.shape == (24, 32, 3)
+    assert np.all(np.isfinite(img))
+
+
+def test_dataset_sampling_modes():
+    img = tiny_image()
+    full = ImageDataset(img, sample_mode='full')
+    assert full.static_coords and len(full) == 1
+    c, r = full.batch(0)
+    assert c.shape == (24 * 32, 2) and r.shape == (24 * 32, 3)
+
+    wrep = ImageDataset(img, num_samples=64, sample_mode='wreplace')
+    c, r = wrep.batch(0)
+    assert c.shape == (64, 2)
+    # coords match the pixel they index
+    grid = pixel_coords(24, 32)
+    woreplace = ImageDataset(img, num_samples=100, sample_mode='woreplace')
+    assert len(woreplace) == (24 * 32 + 99) // 100
+    c0, r0 = woreplace.batch(0)
+    assert c0.shape[0] == 100
+
+
+def test_index_to_coords_matches_grid():
+    h, w = 8, 10
+    grid = pixel_coords(h, w)
+    idx = np.arange(h * w)
+    np.testing.assert_allclose(index_to_coords(idx, h, w), grid, atol=1e-6)
