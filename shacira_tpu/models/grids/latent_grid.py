@@ -31,6 +31,10 @@ from shacira_tpu.ops import coding
 from shacira_tpu.models.latent_decoders import (
     LatentDecoderConfig, latent_decoder_init, latent_decoder_apply,
     latent_decoder_size_bits,
+    MultiLatentDecoderConfig, multi_latent_decoder_init,
+    multi_latent_decoder_apply, multi_latent_decoder_size_bits,
+    HierarchicalLatentDecoderConfig, hierarchical_latent_decoder_init,
+    hierarchical_latent_decoder_apply, hierarchical_latent_decoder_size_bits,
 )
 from shacira_tpu.models.prob_models import (
     BitEstimatorConfig, bit_estimator_init, bit_estimator_apply, entropy_bits,
@@ -50,6 +54,9 @@ class LatentGridConfig:
     codebook_bitwidth: int = 8
     init_grid: str = 'normal'             # 'normal' | 'uniform'
     ldec: Optional[LatentDecoderConfig] = None
+    ldecode_type: str = 'single'          # 'single' | 'multi' | 'hierarchical'
+    num_decoders: int = 2                 # for 'multi'
+    alpha_std: float = 1.0                # for 'multi'
     num_prob_layers: int = 4
     noise_freq: int = 1
     entropy_enabled: bool = False
@@ -88,10 +95,31 @@ class LatentGridConfig:
         return cls(feature_dim=feature_dim,
                    resolutions=octree_resolutions(base_lod, num_lods), **kw)
 
-    def with_ldec(self, ldec_kwargs: dict) -> 'LatentGridConfig':
+    def with_ldec(self, ldec_kwargs: dict, ldecode_type: str = 'single',
+                  **type_kwargs) -> 'LatentGridConfig':
         ldec = LatentDecoderConfig(latent_dim=self.effective_latent_dim,
                                    feature_dim=self.feature_dim, **ldec_kwargs)
-        return replace(self, ldec=ldec)
+        return replace(self, ldec=ldec, ldecode_type=ldecode_type, **type_kwargs)
+
+    @property
+    def multi_cfg(self) -> 'MultiLatentDecoderConfig':
+        d = self.ldec
+        return MultiLatentDecoderConfig(
+            latent_dim=d.latent_dim, feature_dim=d.feature_dim,
+            num_entries=self.spec.total_size, num_decoders=self.num_decoders,
+            norm=d.norm, ldecode_matrix=d.ldecode_matrix, use_shift=d.use_shift,
+            num_layers_dec=d.num_layers_dec, hidden_dim_dec=d.hidden_dim_dec,
+            activation=d.activation, final_activation=d.final_activation,
+            clamp_weights=d.clamp_weights, ldec_std=d.ldec_std,
+            alpha_std=self.alpha_std, use_sga=d.use_sga,
+            diff_sampling=d.diff_sampling)
+
+    @property
+    def hier_cfg(self) -> 'HierarchicalLatentDecoderConfig':
+        spec = self.spec
+        offsets = tuple(spec.lod_first_idx) + (spec.total_size,)
+        return HierarchicalLatentDecoderConfig(
+            num_decoders=spec.num_lods, offsets=offsets, decoder=self.ldec)
 
 
 def latent_grid_init(rng, cfg: LatentGridConfig):
@@ -113,7 +141,12 @@ def latent_grid_init(rng, cfg: LatentGridConfig):
     cb = cb + cfg.feature_bias
     params = {'codebook': cb}
     if cfg.ldec is not None:
-        params['latent_dec'] = latent_decoder_init(k_dec, cfg.ldec)
+        if cfg.ldecode_type == 'multi':
+            params['latent_dec'] = multi_latent_decoder_init(k_dec, cfg.multi_cfg)
+        elif cfg.ldecode_type == 'hierarchical':
+            params['latent_dec'] = hierarchical_latent_decoder_init(k_dec, cfg.hier_cfg)
+        else:
+            params['latent_dec'] = latent_decoder_init(k_dec, cfg.ldec)
         if cfg.entropy_enabled:
             params['prob_model'] = bit_estimator_init(k_prob, cfg.prob_cfg)
     return params
@@ -130,6 +163,17 @@ def decode_codebook(params, cfg: LatentGridConfig, *,
     """
     if cfg.ldec is None:
         return params['codebook']
+    if cfg.ldecode_type == 'multi':
+        # straight_through is enabled after decay_period in the reference
+        # (image_trainer.py:140-141); eval/round mode implies straight-through
+        return multi_latent_decoder_apply(
+            params['latent_dec'], cfg.multi_cfg, params['codebook'],
+            use_sga=use_sga, temperature=temperature,
+            straight_through=not use_sga, rng=rng)
+    if cfg.ldecode_type == 'hierarchical':
+        return hierarchical_latent_decoder_apply(
+            params['latent_dec'], cfg.hier_cfg, params['codebook'],
+            use_sga=use_sga, temperature=temperature, rng=rng)
     return latent_decoder_apply(params['latent_dec'], cfg.ldec, params['codebook'],
                                 use_sga=use_sga, temperature=temperature, rng=rng)
 
@@ -138,7 +182,9 @@ def interpolate(params, cfg: LatentGridConfig, coords, *,
                 use_sga: bool = False, temperature: float = 1.0,
                 rng: Optional[jax.Array] = None,
                 lod_mask: Optional[jax.Array] = None,
-                decoded: Optional[jax.Array] = None):
+                decoded: Optional[jax.Array] = None,
+                static_plan=None,
+                encoder=None):
     """Query multiscale features at ``coords`` (reference interpolate, :340-382).
 
     Args:
@@ -156,7 +202,14 @@ def interpolate(params, cfg: LatentGridConfig, coords, *,
     if decoded is None:
         decoded = decode_codebook(params, cfg, use_sga=use_sga,
                                   temperature=temperature, rng=rng)
-    feats = hash_encode(coords, decoded, cfg.spec)       # [N, L, F]
+    if encoder is not None:
+        feats = encoder(decoded)                         # [N, L, F]
+    elif static_plan is not None:
+        from shacira_tpu.ops.hashgrid import static_hash_encode
+        meta, arrays = static_plan
+        feats = static_hash_encode(arrays, decoded, meta)
+    else:
+        feats = hash_encode(coords, decoded, cfg.spec)   # [N, L, F]
     if lod_mask is not None:
         feats = feats * lod_mask[None, :, None]
     if cfg.multiscale_type == 'cat':
@@ -197,7 +250,13 @@ def grid_size_bits(params, cfg: LatentGridConfig, *, use_codec: bool = False,
         # Uncompressed HashGrid: raw fp bits (hash_grid.py:101-102 in ref).
         cb = params['codebook']
         return 0, int(np.prod(cb.shape)) * np.finfo(np.dtype(cb.dtype)).bits
-    ldec_bits = latent_decoder_size_bits(params['latent_dec'])
+    if cfg.ldecode_type == 'multi':
+        ldec_bits = multi_latent_decoder_size_bits(params['latent_dec'],
+                                                   use_codec=use_codec)
+    elif cfg.ldecode_type == 'hierarchical':
+        ldec_bits = hierarchical_latent_decoder_size_bits(params['latent_dec'])
+    else:
+        ldec_bits = latent_decoder_size_bits(params['latent_dec'])
     cb = np.asarray(params['codebook'])
     codebook_bits = 0.0
     for c in range(cb.shape[1]):

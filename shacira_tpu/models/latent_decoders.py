@@ -223,3 +223,154 @@ class DecoderIdentityConfig:
 
 def decoder_identity_apply(params, cfg, weight, **_):
     return weight
+
+
+# ---------------------------------------------------------------------------
+# MultiLatentDecoder: K decoders + per-entry soft/hard assignment.
+# Port of wisp/models/latent_decoders/multi_latent_decoder.py:84-210.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MultiLatentDecoderConfig:
+    latent_dim: int
+    feature_dim: int
+    num_entries: int
+    num_decoders: int = 2
+    norm: str = 'none'
+    ldecode_matrix: str = 'sq'
+    use_shift: bool = False
+    num_layers_dec: int = 0
+    hidden_dim_dec: int = 0
+    activation: str = 'none'
+    final_activation: str = 'none'
+    clamp_weights: float = 0.0
+    ldec_std: float = 1.0
+    alpha_std: float = 1.0
+    use_sga: bool = False
+    diff_sampling: bool = False
+
+    def layer_dims(self) -> Tuple[Tuple[int, int], ...]:
+        return LatentDecoderConfig(
+            self.latent_dim, self.feature_dim,
+            num_layers_dec=self.num_layers_dec,
+            hidden_dim_dec=self.hidden_dim_dec).layer_dims()
+
+
+def multi_latent_decoder_init(rng, cfg: MultiLatentDecoderConfig):
+    """K per-layer decode matrices [K, in, out] + assignment logits
+    ``alpha`` [K, num_entries] (ref :131-145)."""
+    layers = []
+    dims = cfg.layer_dims()
+    keys = jax.random.split(rng, len(dims) + 1)
+    for k, (din, dout) in zip(keys[:-1], dims):
+        layer = {}
+        if 'dft' in cfg.ldecode_matrix:
+            layer['dft'] = jnp.asarray(get_dft_matrix(din, dout))
+            layer['scale'] = jax.random.normal(
+                k, (cfg.num_decoders, 1, dout)) * cfg.ldec_std
+        else:
+            layer['scale'] = jax.random.normal(
+                k, (cfg.num_decoders, din, dout)) * cfg.ldec_std
+        if cfg.use_shift:
+            layer['shift'] = jnp.zeros((cfg.num_decoders, 1, dout))
+        layers.append(layer)
+    alpha = jax.random.normal(keys[-1], (cfg.num_decoders, cfg.num_entries)) \
+        * cfg.alpha_std
+    return {'layers': layers, 'alpha': alpha,
+            'div': jnp.ones((cfg.latent_dim,))}
+
+
+def ste_one_hot(alpha):
+    """Hard one-hot of argmax over decoders with straight-through grads
+    (StraightThroughOneHot, ref :15-25).  alpha: [K, T]."""
+    hard = jax.nn.one_hot(jnp.argmax(alpha, axis=0), alpha.shape[0]).T
+    return alpha + jax.lax.stop_gradient(hard - alpha)
+
+
+def multi_latent_decoder_apply(params, cfg: MultiLatentDecoderConfig, weight, *,
+                               use_sga: bool = False, temperature: float = 1.0,
+                               straight_through: bool = True,
+                               rng: Optional[jax.Array] = None):
+    """Quantize + decode with a learned mixture of K decoders (ref :188-210).
+
+    Effective math of the reference layer (ref :64-77 — note the reference's
+    double alpha application is a no-op for the non-DFT path since softmax
+    weights sum to 1): ``out_t = sum_k a_kt (x_t @ S_k) + sum_k a_kt shift_k``.
+    """
+    alpha = jax.nn.softmax(params['alpha'] / temperature, axis=0)   # [K, T]
+    if straight_through:
+        alpha = ste_one_hot(alpha)
+    if use_sga:
+        assert rng is not None
+        w = sga_quantize(weight, temperature, rng, cfg.diff_sampling)
+    else:
+        w = ste_round(weight)
+    x = w / params['div']
+    act = _ACTIVATIONS[cfg.activation]
+    n = len(params['layers'])
+    for i, layer in enumerate(params['layers']):
+        if 'dft' in cfg.ldecode_matrix:
+            base = jnp.matmul(x, layer['dft'])                       # [T, F]
+            mixed = jnp.einsum('kt,kf->tf', alpha,
+                               layer['scale'][:, 0, :]) * base
+        else:
+            mixed = jnp.einsum('tl,klf,kt->tf', x, layer['scale'], alpha)
+        if 'shift' in layer:
+            mixed = mixed + jnp.einsum('kt,kf->tf', alpha, layer['shift'][:, 0, :])
+        x = act(mixed) if i < n - 1 else mixed
+    x = _ACTIVATIONS[cfg.final_activation](x)
+    if cfg.clamp_weights > 0.0:
+        x = jnp.clip(x, -cfg.clamp_weights, cfg.clamp_weights)
+    return x
+
+
+def multi_latent_decoder_size_bits(params, use_codec: bool = False) -> float:
+    """fp bits of non-alpha params + entropy-coded argmax assignments
+    (ref size(), :164-186)."""
+    import numpy as np_
+    from shacira_tpu.ops import coding
+    fp = 0
+    for layer in params['layers']:
+        for v in layer.values():
+            fp += int(np_.prod(v.shape)) * np_.finfo(np_.dtype(v.dtype)).bits
+    fp += int(np_.prod(params['div'].shape)) * 32
+    assign = np_.asarray(jnp.argmax(params['alpha'], axis=0))
+    if use_codec:
+        return fp + coding.coded_size_bits(assign)
+    return fp + coding.entropy_bits_histogram(assign)
+
+
+# ---------------------------------------------------------------------------
+# HierarchicalLatentDecoder: independent LatentDecoder per LOD slice.
+# Port of wisp/models/latent_decoders/hierarchical_latent_decoder.py:3-36.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class HierarchicalLatentDecoderConfig:
+    num_decoders: int                      # = num_lods
+    offsets: Tuple[int, ...]               # LOD slice boundaries, len L+1
+    decoder: LatentDecoderConfig
+
+
+def hierarchical_latent_decoder_init(rng, cfg: HierarchicalLatentDecoderConfig):
+    keys = jax.random.split(rng, cfg.num_decoders)
+    return {'decoders': [latent_decoder_init(k, cfg.decoder) for k in keys]}
+
+
+def hierarchical_latent_decoder_apply(params, cfg: HierarchicalLatentDecoderConfig,
+                                      weight, *, use_sga: bool = False,
+                                      temperature: float = 1.0,
+                                      rng: Optional[jax.Array] = None):
+    outs = []
+    keys = (jax.random.split(rng, cfg.num_decoders)
+            if rng is not None else [None] * cfg.num_decoders)
+    for l in range(cfg.num_decoders):
+        sl = weight[cfg.offsets[l]:cfg.offsets[l + 1]]
+        outs.append(latent_decoder_apply(params['decoders'][l], cfg.decoder, sl,
+                                         use_sga=use_sga, temperature=temperature,
+                                         rng=keys[l]))
+    return jnp.concatenate(outs, axis=0)
+
+
+def hierarchical_latent_decoder_size_bits(params) -> int:
+    return sum(latent_decoder_size_bits(d) for d in params['decoders'])

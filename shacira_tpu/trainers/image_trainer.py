@@ -115,6 +115,17 @@ class ImageTrainer:
         # image trainer pins the ldec lr (image_trainer.py:39)
         self.ldec_lr_sched = DecayScheduler(cfg.ldec_lr_warmup, 'fix', cfg.ldec_lr)
 
+        # static-coords fast path: on the full pixel lattice the encode
+        # factorizes into butterfly + separable matmuls (ops/lattice.py) —
+        # no gathers/scatters at all
+        self.plan_meta = None
+        self.plan_arrays = None
+        if getattr(dataset, 'static_coords', False):
+            from shacira_tpu.ops.lattice import build_image_lattice
+            self.plan_meta, arrays = build_image_lattice(
+                dataset.h, dataset.w, model_cfg.grid.spec)
+            self.plan_arrays = arrays
+
         self.epoch = 0
         # device-side best-state: (rgb_loss, psnr, params) in the scan carry;
         # a distinct copy since params and best_params are both donated
@@ -137,12 +148,16 @@ class ImageTrainer:
         labels = self.labels
         entropy_on = self.entropy_enabled
 
-        def step(params, opt_state, noise, coords, gt, rng,
+        plan_meta = self.plan_meta
+
+        def step(params, opt_state, noise, coords, gt, plan_arrays, rng,
                  ent_lambda, temperature, lr_ldec, do_recalib, refresh_noise):
             k_sga, k_noise = jax.random.split(rng)
 
-            # latent norm recalibration (pre-forward, ref :284-296)
-            if self.ldecode_enabled and cfg.norm != 'none':
+            # latent norm recalibration (pre-forward, ref :284-296; the
+            # reference applies it only to the single LatentDecoder, :287)
+            if (self.ldecode_enabled and cfg.norm != 'none'
+                    and mcfg.grid.ldecode_type == 'single'):
                 ld = params['grid']['latent_dec']
                 new_ld = recalibrate_div(ld, params['grid']['codebook'], cfg.norm)
                 div = jnp.where(do_recalib, new_ld['div'], ld['div'])
@@ -155,8 +170,14 @@ class ImageTrainer:
                 noise = jnp.where(refresh_noise, fresh, noise)
 
             def loss_fn(p):
+                encoder = None
+                if plan_arrays is not None:
+                    from shacira_tpu.ops.lattice import lattice_encode
+                    encoder = lambda decoded: lattice_encode(
+                        plan_arrays, decoded, plan_meta)
                 pred = neural_image_rgb(p, mcfg, coords, use_sga=use_sga,
-                                        temperature=temperature, rng=k_sga)
+                                        temperature=temperature, rng=k_sga,
+                                        encoder=encoder)
                 rgb_loss = jnp.mean((pred - gt) ** 2)
                 loss = cfg.rgb_loss_weight * rgb_loss
                 aux = {'rgb_loss': rgb_loss, 'pred': pred}
@@ -171,7 +192,8 @@ class ImageTrainer:
 
             # dynamic grid-lr scaling (ref :326-347)
             lr_grid = jnp.asarray(cfg.grid_lr, jnp.float32)
-            if self.ldecode_enabled and cfg.scale_grid_lr != 'none':
+            if (self.ldecode_enabled and cfg.scale_grid_lr != 'none'
+                    and mcfg.grid.ldecode_type == 'single'):
                 norm = scale_norm(params['grid']['latent_dec'])
                 if cfg.scale_grid_lr == 'mul':
                     lr_grid = lr_grid * norm
@@ -202,12 +224,12 @@ class ImageTrainer:
         step = self._raw_step(use_sga)
 
         def run_chunk(params, opt_state, noise, best_loss, best_psnr,
-                      best_params, coords, gt, xs):
-            # coords/gt are closed over by the body -> scan loop invariants
+                      best_params, coords, gt, plan_arrays, xs):
+            # coords/gt/plan are closed over by the body -> scan loop invariants
             def body(carry, x):
                 params, opt_state, noise, best_loss, best_psnr, best_params = carry
                 params, opt_state, noise, metrics = step(
-                    params, opt_state, noise, coords, gt, x['rng'],
+                    params, opt_state, noise, coords, gt, plan_arrays, x['rng'],
                     x['ent_lambda'], x['temperature'], x['lr_ldec'],
                     x['do_recalib'], x['refresh_noise'])
                 better = metrics['rgb_loss'] < best_loss
@@ -256,8 +278,15 @@ class ImageTrainer:
         epochs = epochs if epochs is not None else cfg.epochs
         ds = self.dataset
         assert ds.static_coords, 'batched sampling loop lands with wreplace support'
-        coords = jnp.asarray(ds.batch(0)[0])
-        gt = jnp.asarray(ds.batch(0)[1])
+        if self.plan_meta is not None:
+            # lattice mode computes predictions in canonical row-major pixel
+            # order, so feed the unshuffled image
+            from shacira_tpu.datasets.image import pixel_coords
+            coords = jnp.asarray(pixel_coords(ds.h, ds.w))
+            gt = jnp.asarray(ds.rgb)
+        else:
+            coords = jnp.asarray(ds.batch(0)[0])
+            gt = jnp.asarray(ds.batch(0)[1])
         if self.mesh is not None:
             from shacira_tpu.parallel import mesh as pmesh
             n_dev = self.mesh.size
@@ -286,7 +315,7 @@ class ImageTrainer:
             run = self._get_chunk_fn(use_sga)
             carry, metrics = run(self.params, self.opt_state, self.noise,
                                  self.best_loss, self.best_psnr, self.best_params,
-                                 coords, gt, xs)
+                                 coords, gt, self.plan_arrays, xs)
             (self.params, self.opt_state, self.noise,
              self.best_loss, self.best_psnr, self.best_params) = carry
             self.epoch += n
@@ -335,9 +364,15 @@ class ImageTrainer:
         ds = self.dataset
         from shacira_tpu.datasets.image import pixel_coords
         coords = jnp.asarray(pixel_coords(ds.h, ds.w))
+        encoder = None
+        if self.plan_meta is not None:
+            from shacira_tpu.ops.lattice import lattice_encode
+            meta = self.plan_meta
+            arrays = self.plan_arrays
+            encoder = lambda decoded: lattice_encode(arrays, decoded, meta)
         pred = jax.jit(functools.partial(
-            neural_image_rgb, cfg=self.model_cfg, use_sga=False))(
-            params, coords=coords)
+            neural_image_rgb, cfg=self.model_cfg, use_sga=False,
+            encoder=encoder))(params, coords=coords)
         return np.asarray(pred).reshape(ds.h, ds.w, 3)
 
     def finalize(self) -> Dict:

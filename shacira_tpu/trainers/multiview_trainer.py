@@ -151,7 +151,8 @@ class MultiviewTrainer:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 
             lr_grid = jnp.asarray(cfg.grid_lr, jnp.float32)
-            if self.ldecode_enabled and cfg.scale_grid_lr != 'none':
+            if (self.ldecode_enabled and cfg.scale_grid_lr != 'none'
+                    and mcfg.grid.ldecode_type == 'single'):
                 norm = scale_norm(params['grid']['latent_dec'])
                 lr_grid = (lr_grid * norm if cfg.scale_grid_lr == 'mul'
                            else lr_grid / norm)
