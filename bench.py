@@ -50,7 +50,7 @@ def main():
     tcfg = ImageTrainerConfig(
         epochs=60000, use_sga=True, decay_period=0.9, temperature=0.1,
         norm='max', norm_every=10, entropy_reg=1e-3, entropy_reg_end=1e-4,
-        log_every=-1, chunk_size=100)
+        log_every=-1, chunk_size=200)
     trainer = ImageTrainer(tcfg, mcfg, ds, seed=0)
 
     def sync():
@@ -58,9 +58,9 @@ def main():
         # relay backend, so force a (1-element) device->host readback
         np.asarray(trainer.params['grid']['codebook'][0:1])
 
-    trainer.train(epochs=100, finalize=False)  # warmup: compiles the scan chunk
+    trainer.train(epochs=200, finalize=False)  # warmup: compiles the scan chunk
     sync()
-    n_steps = 500
+    n_steps = 1000
     t0 = time.time()
     trainer.train(epochs=n_steps, finalize=False)
     sync()

@@ -79,11 +79,38 @@ class _BitReader:
         return (self.data[byte_i] >> (7 - bit_i)) & 1
 
 
+def _native_lib():
+    from shacira_tpu.csrc import load_range_coder
+    return load_range_coder()
+
+
 class ArithmeticCoder:
-    """Static-model arithmetic coder (Witten-Neal-Cleary, 32-bit state)."""
+    """Static-model arithmetic coder (Witten-Neal-Cleary, 32-bit state).
+
+    Uses the native C++ implementation (shacira_tpu/csrc/range_coder.cpp,
+    identical bitstream) when the toolchain is available; pure-Python
+    otherwise.
+    """
 
     @staticmethod
     def encode(symbols: np.ndarray, probs: np.ndarray) -> bytes:
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+            syms = np.ascontiguousarray(symbols, np.int32)
+            p = np.ascontiguousarray(probs, np.float64)
+            cap = len(syms) * 4 + 64
+            out = np.zeros(cap, np.uint8)
+            n = lib.rc_encode(
+                syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(syms),
+                p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(p),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            if n >= 0:
+                return bytes(out[:n])
+        return ArithmeticCoder._encode_py(symbols, probs)
+
+    @staticmethod
+    def _encode_py(symbols: np.ndarray, probs: np.ndarray) -> bytes:
         cdf = _quantize_cdf(probs)
         total = int(cdf[-1])
         low, high, pending = 0, _FULL, 0
@@ -124,6 +151,23 @@ class ArithmeticCoder:
 
     @staticmethod
     def decode(data: bytes, probs: np.ndarray, num_symbols: int) -> np.ndarray:
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+            p = np.ascontiguousarray(probs, np.float64)
+            buf = np.frombuffer(data, np.uint8)
+            out = np.zeros(num_symbols, np.int32)
+            rc = lib.rc_decode(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+                num_symbols,
+                p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(p),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if rc == 0:
+                return out.astype(np.int64)
+        return ArithmeticCoder._decode_py(data, probs, num_symbols)
+
+    @staticmethod
+    def _decode_py(data: bytes, probs: np.ndarray, num_symbols: int) -> np.ndarray:
         cdf = _quantize_cdf(probs)
         total = int(cdf[-1])
         r = _BitReader(data)

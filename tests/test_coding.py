@@ -41,3 +41,38 @@ def test_gaussian_latents_sizes():
     bits = coded_size_bits(w)
     h = entropy_bits_histogram(w)
     assert abs(bits - h) / h < 0.05
+
+
+def test_native_coder_matches_python_bitstream():
+    from shacira_tpu.csrc import load_range_coder
+    lib = load_range_coder()
+    if lib is None:
+        import pytest
+        pytest.skip('no native toolchain')
+    rng = np.random.RandomState(0)
+    probs = rng.dirichlet(np.ones(9))
+    syms = rng.choice(9, size=3000, p=probs)
+    hist = np.bincount(syms, minlength=9).astype(np.float64)
+    probs_h = hist / hist.sum()
+    native = ArithmeticCoder.encode(syms, probs_h)
+    py = ArithmeticCoder._encode_py(syms, probs_h)
+    assert native == py, 'native and python bitstreams must be identical'
+    # cross-decode both ways
+    np.testing.assert_array_equal(ArithmeticCoder._decode_py(native, probs_h, len(syms)), syms)
+    np.testing.assert_array_equal(ArithmeticCoder.decode(py, probs_h, len(syms)), syms)
+
+
+def test_native_coder_speed_on_large_stream():
+    from shacira_tpu.csrc import load_range_coder
+    if load_range_coder() is None:
+        import pytest
+        pytest.skip('no native toolchain')
+    import time
+    rng = np.random.RandomState(1)
+    syms = np.round(rng.randn(1_000_000) * 4).astype(np.int64)
+    syms -= syms.min()
+    t0 = time.time()
+    bits = coded_size_bits(syms)
+    dt = time.time() - t0
+    assert bits > 0
+    assert dt < 5.0, f'native coding too slow: {dt:.1f}s for 1M symbols'
