@@ -225,11 +225,15 @@ class ImageTrainer:
 
         def run_chunk(params, opt_state, noise, best_loss, best_psnr,
                       best_params, coords, gt, plan_arrays, xs):
-            # coords/gt/plan are closed over by the body -> scan loop invariants
+            # coords/gt/plan are closed over by the body -> scan loop
+            # invariants; sampled mode passes per-step batches in xs instead
             def body(carry, x):
                 params, opt_state, noise, best_loss, best_psnr, best_params = carry
+                step_coords = x.get('coords', coords)
+                step_gt = x.get('gt', gt)
                 params, opt_state, noise, metrics = step(
-                    params, opt_state, noise, coords, gt, plan_arrays, x['rng'],
+                    params, opt_state, noise, step_coords, step_gt,
+                    plan_arrays, x['rng'],
                     x['ent_lambda'], x['temperature'], x['lr_ldec'],
                     x['do_recalib'], x['refresh_noise'])
                 better = metrics['rgb_loss'] < best_loss
@@ -248,18 +252,19 @@ class ImageTrainer:
         return fn
 
     # ------------------------------------------------------------------
-    def _schedule_arrays(self, e0: int, n: int):
+    def _schedule_arrays(self, e0: int, n: int, epochs=None, iters=None):
         cfg = self.cfg
-        epochs = np.arange(e0, e0 + n)
+        epochs = np.arange(e0, e0 + n) if epochs is None else np.asarray(epochs)
+        iters = epochs if iters is None else np.asarray(iters)
         ent = np.asarray([self.entropy_reg_sched(e) for e in epochs], np.float32) \
             if self.entropy_enabled else np.zeros(n, np.float32)
         temp = np.asarray([self.temperature_sched(e) for e in epochs], np.float32) \
             if self.ldecode_enabled else np.ones(n, np.float32)
         lr_ldec = np.asarray([self.ldec_lr_sched(e) for e in epochs], np.float32)
-        recal = (np.asarray(epochs % cfg.norm_every == 0)
+        recal = (np.asarray(iters % cfg.norm_every == 0)
                  if (self.ldecode_enabled and cfg.norm != 'none')
                  else np.zeros(n, bool))
-        refresh = (np.asarray((epochs - 1) % max(cfg.noise_freq, 1) == 0)
+        refresh = (np.asarray((iters - 1) % max(cfg.noise_freq, 1) == 0)
                    if self.entropy_enabled else np.zeros(n, bool))
         return {'ent_lambda': jnp.asarray(ent), 'temperature': jnp.asarray(temp),
                 'lr_ldec': jnp.asarray(lr_ldec), 'do_recalib': jnp.asarray(recal),
@@ -277,7 +282,8 @@ class ImageTrainer:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
         ds = self.dataset
-        assert ds.static_coords, 'batched sampling loop lands with wreplace support'
+        if not ds.static_coords:
+            return self._train_sampled(epochs, log_fn, finalize)
         if self.plan_meta is not None:
             # lattice mode computes predictions in canonical row-major pixel
             # order, so feed the unshuffled image
@@ -335,6 +341,55 @@ class ImageTrainer:
                 self.history.append(entry)
                 if log_fn:
                     log_fn(entry)
+        return self.finalize() if finalize else None
+
+    def _train_sampled(self, epochs: int, log_fn, finalize: bool):
+        """Sampled-batch loop for 'wreplace'/'woreplace'/'sequential' modes
+        (large images, ref pearl.yaml; one epoch = len(dataset) batches)."""
+        cfg = self.cfg
+        ds = self.dataset
+        batches_per_epoch = len(ds)
+        total = epochs * batches_per_epoch
+        t0 = time.time()
+        done = 0
+        while done < total:
+            e0 = self.epoch + 1
+            use_sga = self._use_sga_at(e0)
+            n = min(max(1, cfg.chunk_size), total - done)
+            if use_sga:
+                flip = int(np.floor(cfg.decay_period * cfg.epochs)) * batches_per_epoch
+                n = min(n, max(1, flip - (self.epoch * batches_per_epoch)))
+            # schedules keyed by epoch; recal/noise flags keyed by iteration
+            iters = np.arange(done + 1, done + n + 1)
+            ep = (iters - 1) // batches_per_epoch + 1
+            xs = self._schedule_arrays(0, n, epochs=ep, iters=iters)
+            self.rng, k = jax.random.split(self.rng)
+            xs['rng'] = jax.random.split(k, n)
+            bc = np.empty((n, ds.num_samples, 2), np.float32)
+            bg = np.empty((n, ds.num_samples, 3), np.float32)
+            for i in range(n):
+                c, g = ds.batch(i % batches_per_epoch)
+                if c.shape[0] < ds.num_samples:   # pad tail batches
+                    pad = ds.num_samples - c.shape[0]
+                    c = np.concatenate([c, c[:pad]])
+                    g = np.concatenate([g, g[:pad]])
+                bc[i], bg[i] = c, g
+            xs['coords'] = jnp.asarray(bc)
+            xs['gt'] = jnp.asarray(bg)
+
+            run = self._get_chunk_fn(use_sga)
+            carry, metrics = run(self.params, self.opt_state, self.noise,
+                                 self.best_loss, self.best_psnr, self.best_params,
+                                 None, None, None, xs)
+            (self.params, self.opt_state, self.noise,
+             self.best_loss, self.best_psnr, self.best_params) = carry
+            done += n
+            self.epoch = done // batches_per_epoch
+            if cfg.log_every > 0 and log_fn and (done // n) % max(1, cfg.log_every) == 0:
+                log_fn({'epoch': self.epoch, 'iteration': done,
+                        'psnr': float(np.asarray(metrics['psnr'][-1:])[0]),
+                        'rgb_loss': float(np.asarray(metrics['rgb_loss'][-1:])[0]),
+                        'elapsed': time.time() - t0})
         return self.finalize() if finalize else None
 
     # ------------------------------------------------------------------

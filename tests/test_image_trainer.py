@@ -91,3 +91,26 @@ def test_index_to_coords_matches_grid():
     grid = pixel_coords(h, w)
     idx = np.arange(h * w)
     np.testing.assert_allclose(index_to_coords(idx, h, w), grid, atol=1e-6)
+
+
+def test_sampled_wreplace_training():
+    """'wreplace' mode (pearl giga-image path): batched sampled training
+    converges on a tiny image."""
+    ds = ImageDataset(tiny_image(), num_samples=256, sample_mode='wreplace')
+    assert not ds.static_coords
+    cfg = ImageTrainerConfig(epochs=150, log_every=-1, entropy_reg=1e-4,
+                             entropy_reg_end=1e-4, chunk_size=100,
+                             use_sga=True, temperature=0.1, norm='max')
+    trainer = ImageTrainer(cfg, make_model_cfg(), ds, seed=0)
+    out = trainer.train()
+    assert out['PSNR'] > 14, out
+    img = trainer.render(trainer.best_params)
+    assert img.shape == (24, 32, 3)
+
+
+def test_sampled_woreplace_training():
+    ds = ImageDataset(tiny_image(), num_samples=200, sample_mode='woreplace')
+    cfg = ImageTrainerConfig(epochs=120, log_every=-1, chunk_size=100)
+    trainer = ImageTrainer(cfg, make_model_cfg(compressed=False), ds, seed=0)
+    out = trainer.train()
+    assert out['PSNR'] > 14, out

@@ -1,0 +1,81 @@
+"""Offline renderer, render buffer, experiment logging, checkpointing."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shacira_tpu.render import offline
+from shacira_tpu.core.renderbuffer import RenderBuffer
+from shacira_tpu.utils.logging import ExperimentLogger
+from shacira_tpu.utils import checkpoint
+
+
+def test_lookat_rays_geometry():
+    cfg = offline.CameraConfig(width=8, height=6, fov=45)
+    ro, rd = offline.lookat_rays([0, 0, -3], [0, 0, 0], cfg)
+    assert ro.shape == (48, 3) and rd.shape == (48, 3)
+    np.testing.assert_allclose(np.linalg.norm(rd, axis=-1), 1.0, rtol=1e-5)
+    # center ray points roughly at the target
+    center = rd.reshape(6, 8, 3)[3, 4]
+    assert center[2] > 0.99
+
+
+def test_render_rays_and_turntable_analytic():
+    cfg = offline.CameraConfig(width=16, height=16, fov=40, dist_max=6)
+
+    def trace_fn(rays, key):
+        # analytic sphere hit test -> red sphere on white bg
+        o, d = rays.origins, rays.dirs
+        b = jnp.sum(o * d, -1)
+        c = jnp.sum(o * o, -1) - 0.5 ** 2
+        hit = (b * b - c) > 0
+        rgb = jnp.where(hit[:, None], jnp.asarray([1.0, 0.2, 0.2]), 1.0)
+        return {'rgb': rgb, 'hit': hit}
+
+    frames = list(offline.turntable(trace_fn, cfg, num_angles=3, radius=3))
+    assert len(frames) == 3
+    for f in frames:
+        assert f.shape == (16, 16, 3)
+        assert f.reshape(-1, 3).min() < 0.5      # sphere visible
+        assert f[0, 0, 0] == 1.0                 # corner = background
+
+
+def test_renderbuffer_blend():
+    a = RenderBuffer({'rgb': jnp.ones((4, 3)) * 0.8,
+                      'alpha': jnp.ones((4, 1)) * 0.5,
+                      'hit': jnp.asarray([True, False, True, False])})
+    b = RenderBuffer({'rgb': jnp.zeros((4, 3)),
+                      'alpha': jnp.ones((4, 1)),
+                      'hit': jnp.asarray([False, False, True, True])})
+    out = a.blend(b)
+    np.testing.assert_allclose(np.asarray(out.rgb), 0.4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), 1.0, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.channels['hit']),
+                                  [True, False, True, True])
+
+
+def test_experiment_logger(tmp_path):
+    logger = ExperimentLogger(str(tmp_path), 'test')
+    logger.scalar('loss', 0.5, 1)
+    logger.image('pred', np.zeros((4, 4, 3)), 1)
+    logger.record({'psnr': 30.0, 'bpp': 0.5})
+    logger.record({'psnr': 31.0, 'bpp': 0.4})
+    logger.close()
+    files = os.listdir(tmp_path)
+    assert any('logs.parquet' in f or 'logs.json' in f for f in files)
+    if any('logs.parquet' in f for f in files):
+        import pandas as pd
+        df = pd.read_parquet(os.path.join(tmp_path, 'logs.parquet'))
+        assert len(df) == 2 and 'psnr' in df
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {'params': {'w': jnp.arange(6.0).reshape(2, 3)},
+             'step': 7, 'name': 'x'}
+    path = str(tmp_path / 'ckpt.pkl')
+    checkpoint.save_state(path, state)
+    back = checkpoint.load_state(path)
+    np.testing.assert_array_equal(back['params']['w'],
+                                  np.arange(6.0).reshape(2, 3))
+    assert back['step'] == 7 and back['name'] == 'x'
