@@ -30,7 +30,8 @@ from shacira_tpu.ops.hashgrid import (
 from shacira_tpu.ops import coding
 from shacira_tpu.models.latent_decoders import (
     LatentDecoderConfig, latent_decoder_init, latent_decoder_apply,
-    latent_decoder_size_bits,
+    latent_decoder_size_bits, latent_decoder_is_affine,
+    latent_decoder_affine_parts,
     MultiLatentDecoderConfig, multi_latent_decoder_init,
     multi_latent_decoder_apply, multi_latent_decoder_size_bits,
     HierarchicalLatentDecoderConfig, hierarchical_latent_decoder_init,
@@ -152,6 +153,21 @@ def latent_grid_init(rng, cfg: LatentGridConfig):
     return params
 
 
+def supports_affine_fusion(cfg: LatentGridConfig) -> bool:
+    """Whether the grid can use the latent-width fused backward
+    (hash_encode_affine): single affine latent decoder."""
+    return (cfg.ldec is not None and cfg.ldecode_type == 'single'
+            and latent_decoder_is_affine(cfg.ldec))
+
+
+def affine_parts(params, cfg: LatentGridConfig, *, use_sga: bool = False,
+                 temperature: float = 1.0, rng: Optional[jax.Array] = None):
+    """(z, matrix, shift) for the fused encode; see supports_affine_fusion."""
+    return latent_decoder_affine_parts(
+        params['latent_dec'], cfg.ldec, params['codebook'],
+        use_sga=use_sga, temperature=temperature, rng=rng)
+
+
 def decode_codebook(params, cfg: LatentGridConfig, *,
                     use_sga: bool = False, temperature: float = 1.0,
                     rng: Optional[jax.Array] = None):
@@ -184,7 +200,8 @@ def interpolate(params, cfg: LatentGridConfig, coords, *,
                 lod_mask: Optional[jax.Array] = None,
                 decoded: Optional[jax.Array] = None,
                 static_plan=None,
-                encoder=None):
+                encoder=None,
+                affine=None):
     """Query multiscale features at ``coords`` (reference interpolate, :340-382).
 
     Args:
@@ -199,6 +216,17 @@ def interpolate(params, cfg: LatentGridConfig, coords, *,
     """
     lead_shape = coords.shape[:-1]
     coords = coords.reshape(-1, coords.shape[-1])
+    if affine is not None:
+        from shacira_tpu.ops.hashgrid import hash_encode_affine
+        z, matrix, shift = affine
+        feats = hash_encode_affine(coords, z, matrix, shift, cfg.spec)
+        if lod_mask is not None:
+            feats = feats * lod_mask[None, :, None]
+        if cfg.multiscale_type == 'cat':
+            out = feats.reshape(feats.shape[0], -1)
+        else:
+            out = feats.sum(axis=1)
+        return out.reshape(*lead_shape, out.shape[-1])
     if decoded is None:
         decoded = decode_codebook(params, cfg, use_sga=use_sga,
                                   temperature=temperature, rng=rng)

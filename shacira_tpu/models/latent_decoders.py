@@ -174,6 +174,40 @@ def latent_decoder_apply(params, cfg: LatentDecoderConfig, weight, *,
     return out
 
 
+def latent_decoder_is_affine(cfg: LatentDecoderConfig) -> bool:
+    """True when decode is a single affine map (quantize -> /div -> one
+    matmul + shift) — the default SHACIRA configuration.  Such decoders fuse
+    into the hash-encode VJP (ops/hashgrid.hash_encode_affine)."""
+    return (cfg.num_layers_dec == 0 and cfg.final_activation == 'none'
+            and cfg.clamp_weights == 0.0)
+
+
+def latent_decoder_affine_parts(params, cfg: LatentDecoderConfig, weight, *,
+                                use_sga: bool = False, temperature: float = 1.0,
+                                rng: Optional[jax.Array] = None):
+    """(z, matrix, shift) with decode(weight) == z @ matrix + shift.
+
+    z is the quantized+normalized latent table; for the DFT variant the
+    effective matrix is ``dft * scale`` (row-broadcast).
+    """
+    assert latent_decoder_is_affine(cfg)
+    if use_sga:
+        assert rng is not None
+        w = sga_quantize(weight, temperature, rng, cfg.diff_sampling)
+    else:
+        w = ste_round(weight)
+    z = w / params['div']
+    layer = params['layers'][0]
+    if 'dft' in cfg.ldecode_matrix:
+        matrix = layer['dft'] * layer['scale']
+    else:
+        matrix = layer['scale']
+    shift = layer.get('shift')
+    if shift is None:
+        shift = jnp.zeros((1, matrix.shape[1]), matrix.dtype)
+    return z, matrix, shift
+
+
 def latent_decoder_size_bits(params) -> int:
     """fp bits of decoder params (ref size(), :167-168). Excludes buffers? No:
     the reference counts every parameter incl. the frozen ``div`` vector and

@@ -15,13 +15,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def full_sort(x):
+    """"FullSort" activation (ref basic_activations.py:12-24): sorts the
+    feature dimension (norm-preserving nonlinearity)."""
+    return jnp.sort(x, axis=-1)
+
+
+def min_max(x):
+    """"MinMax" activation (ref :26-42): pairwise partial sort; feature dim
+    must be even."""
+    shape = x.shape
+    x2 = x.reshape(*shape[:-1], shape[-1] // 2, 2)
+    lo = jnp.min(x2, axis=-1, keepdims=True)
+    hi = jnp.max(x2, axis=-1, keepdims=True)
+    return jnp.concatenate([lo, hi], axis=-1).reshape(shape)
+
+
 _ACTIVATIONS = {
     'none': lambda x: x,
+    'identity': lambda x: x,
     'relu': jax.nn.relu,
     'sigmoid': jax.nn.sigmoid,
     'tanh': jnp.tanh,
     'sin': jnp.sin,
     'sine': lambda x: jnp.sin(30.0 * x),
+    'sinescaled': lambda x: jnp.sin(30.0 * x),
+    'fullsort': full_sort,
+    'minmax': min_max,
     'lrelu': lambda x: jax.nn.leaky_relu(x, 0.01),
     'softplus': jax.nn.softplus,
 }
@@ -29,6 +49,51 @@ _ACTIVATIONS = {
 
 def get_activation(name: str):
     return _ACTIVATIONS[name]
+
+
+# ---------------------------------------------------------------------------
+# Normalized linear layer variants (ref wisp/models/layers.py:13-109):
+# weight normalization applied in the forward pass.
+# ---------------------------------------------------------------------------
+
+def normalize_frobenius(w):
+    return w / jnp.sqrt(jnp.sum(jnp.abs(w) ** 2))
+
+
+def normalize_l1(w):
+    """Scale columns so absolute column sums are <= 1 (ref normalize_L_1)."""
+    abscolsum = jnp.sum(jnp.abs(w), axis=0)
+    scale = jnp.minimum(1.0 / abscolsum, 1.0)
+    return w * scale[None, :]
+
+
+def normalize_linf(w):
+    """Scale rows so absolute row sums are <= 1 (ref normalize_L_inf)."""
+    absrowsum = jnp.sum(jnp.abs(w), axis=1)
+    scale = jnp.minimum(1.0 / absrowsum, 1.0)
+    return w * scale[:, None]
+
+
+def spectral_normalize(w, iters: int = 8):
+    """Power-iteration spectral norm (ref uses torch spectral_norm)."""
+    v = jnp.ones((w.shape[1],)) / np.sqrt(w.shape[1])
+    for _ in range(iters):
+        u = w @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+        v = w.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+    sigma = u @ w @ v
+    return w / (sigma + 1e-12)
+
+
+_LAYER_NORMALIZERS = {
+    'none': None,
+    'linear': None,
+    'frobenius_norm': normalize_frobenius,
+    'l_1_norm': normalize_l1,
+    'l_inf_norm': normalize_linf,
+    'spectral_norm': spectral_normalize,
+}
 
 
 @dataclass(frozen=True)
@@ -40,6 +105,7 @@ class MLPConfig:
     activation: str = 'relu'
     bias: bool = True
     skip: Tuple[int, ...] = ()
+    layer_type: str = 'none'       # 'none'|'frobenius_norm'|'l_1_norm'|...
 
     def layer_dims(self) -> Tuple[Tuple[int, int], ...]:
         dims = []
@@ -74,16 +140,21 @@ def mlp_init(rng, cfg: MLPConfig):
 
 def mlp_apply(params, cfg: MLPConfig, x):
     act = get_activation(cfg.activation)
+    normalizer = _LAYER_NORMALIZERS[cfg.layer_type]
     layers = params['layers']
+
+    def weight(layer):
+        return normalizer(layer['w']) if normalizer is not None else layer['w']
+
     h = x
     for i, layer in enumerate(layers[:-1]):
         if i in cfg.skip and i > 0:
             h = jnp.concatenate([x, h], axis=-1)
-        h = h @ layer['w']
+        h = h @ weight(layer)
         if 'b' in layer:
             h = h + layer['b']
         h = act(h)
-    out = h @ layers[-1]['w']
+    out = h @ weight(layers[-1])
     if 'b' in layers[-1]:
         out = out + layers[-1]['b']
     return out

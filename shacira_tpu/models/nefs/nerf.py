@@ -90,7 +90,8 @@ def nerf_init(rng, cfg: NeuralRadianceFieldConfig):
 def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
               use_sga: bool = False, temperature: float = 1.0,
               rng: Optional[jax.Array] = None,
-              decoded: Optional[jax.Array] = None):
+              decoded: Optional[jax.Array] = None,
+              affine=None):
     """coords [..., 3], ray_d [..., 3] -> (rgb [..., 3], density [..., 1]).
 
     Mirrors NeuralRadianceField.rgba (nerf.py:192-234) incl. the negated view
@@ -98,7 +99,7 @@ def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
     """
     feats = lg.interpolate(params['grid'], cfg.grid, coords,
                            use_sga=use_sga, temperature=temperature, rng=rng,
-                           decoded=decoded)
+                           decoded=decoded, affine=affine)
     if cfg.pos_embed_dim:
         if cfg.pos_embedder == 'positional':
             emb = positional_embed(PositionalEmbedderConfig(

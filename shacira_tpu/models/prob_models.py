@@ -70,6 +70,62 @@ def bit_estimator_apply(params, cfg: BitEstimatorConfig, x, single_channel=None)
     return _bitparm_apply(params['f4'], cfg, x, final=True, single_channel=single_channel)
 
 
+# ---------------------------------------------------------------------------
+# BitEstimatorN: width-N per-channel CDF model.
+# Port of wisp/models/prob_models/bit_estimatorN.py:4-67 — grouped 1x1 convs
+# whose weights pass through sigmoid (mixing matrices) / tanh (gates):
+#   f1: h = sigmoid(W1) * x + b1;          h += tanh(g1) * tanh(h)
+#   f2,f3: h = sigmoid(M) @ h + b;         h += tanh(g) * tanh(h)
+#   f4: sigmoid(sigmoid(w4) . h + b4)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BitEstimatorNConfig:
+    channels: int
+    width: int = 4
+
+
+def bit_estimator_n_init(rng, cfg: BitEstimatorNConfig):
+    c, w = cfg.channels, cfg.width
+    keys = jax.random.split(rng, 10)
+
+    def n(k, shape, s=0.01):
+        return jax.random.normal(k, shape) * s
+
+    return {
+        'f1': {'w': n(keys[0], (c, w)), 'b': n(keys[1], (c, w)),
+               'g': n(keys[2], (c, w))},
+        'f2': {'m': n(keys[3], (c, w, w)), 'b': n(keys[4], (c, w)),
+               'g': n(keys[5], (c, w))},
+        'f3': {'m': n(keys[6], (c, w, w)), 'b': n(keys[7], (c, w)),
+               'g': n(keys[8], (c, w))},
+        'f4': {'w': n(keys[9], (c, w)), 'b': jnp.zeros((c,))},
+    }
+
+
+def bit_estimator_n_apply(params, cfg: BitEstimatorNConfig, x,
+                          single_channel=None):
+    """CDF(x) for x [..., channels] (or [...] with ``single_channel``)."""
+    if single_channel is not None:
+        sel = lambda p: jax.tree.map(lambda v: v[single_channel:single_channel + 1],
+                                     p)
+        params = {k: sel(v) for k, v in params.items()}
+        x = x[..., None]
+    f1 = params['f1']
+    h = jax.nn.sigmoid(f1['w']) * x[..., None] + f1['b']      # [..., C, W]
+    h = h + jnp.tanh(f1['g']) * jnp.tanh(h)
+    for name in ('f2', 'f3'):
+        f = params[name]
+        h = jnp.einsum('...cw,cvw->...cv', h, jax.nn.sigmoid(f['m'])) + f['b']
+        h = h + jnp.tanh(f['g']) * jnp.tanh(h)
+    f4 = params['f4']
+    out = jax.nn.sigmoid(
+        jnp.sum(jax.nn.sigmoid(f4['w']) * h, axis=-1) + f4['b'])
+    if single_channel is not None:
+        out = out[..., 0]
+    return out
+
+
 def entropy_bits(params, cfg: BitEstimatorConfig, weight, clamp_max: float = 50.0):
     """Total estimated bits of (noisy or rounded) latents ``weight``.
 

@@ -220,23 +220,105 @@ def _hash_encode_fwd(coords, codebook, spec):
 
 
 def _hash_encode_bwd(spec, residuals, g):
+    from shacira_tpu.ops.pallas_scatter import scatter_add
     all_idx, all_w, cb_meta = residuals
-    cb_shape = (spec.total_size,) + cb_meta.shape[1:]
     cb_dtype = cb_meta.dtype
     # g: [N, L, F]
     g = g.astype(jnp.float32)
-    grad_cb = jnp.zeros(cb_shape, dtype=jnp.float32)
+    f = g.shape[-1]
+    grads = []
     for lod in range(spec.num_lods):
-        first = spec.lod_first_idx[lod]
         idx, w = all_idx[lod], all_w[lod]             # [N, C]
         gl = g[:, lod, :]                             # [N, F]
-        upd = (gl[:, None, :] * w[:, :, None]).reshape(-1, g.shape[-1])  # [N*C, F]
-        flat_idx = (idx + first).reshape(-1)          # [N*C]
-        grad_cb = grad_cb.at[flat_idx].add(upd)
-    return None, grad_cb.astype(cb_dtype)
+        upd = (gl[:, None, :] * w[:, :, None]).reshape(-1, f)  # [N*C, F]
+        grads.append(scatter_add(idx.reshape(-1), upd, spec.lod_sizes[lod]))
+    return None, jnp.concatenate(grads, axis=0).astype(cb_dtype)
 
 
 hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Affine-fused encode: gather from z @ scale + shift with a custom VJP that
+# scatters latent-width rows.
+#
+# SHACIRA's default latent decoders are a single affine map (0 hidden layers,
+# kodak.yaml / nerf_lego.yaml).  The hash-grid backward then factors:
+#     grad_z[t]   = sum_{(n,c): idx=t} w_nc * (g_n @ scale^T)      [ld wide]
+#     grad_scale  = sum_u (z_u * w_u) (x) g_u
+#     grad_shift  = sum_u w_u * g_u
+# Scattering [.., latent_dim] rows instead of [.., feature_dim] cuts the
+# dominant backward cost by feature_dim/latent_dim (4x for the lego config)
+# on the MXU one-hot scatter path.  The z rows needed for grad_scale ride
+# along the forward gather for free (flat per-row gather cost).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def hash_encode_affine(coords, z, scale, shift, spec: HashGridSpec):
+    """Multi-LOD interpolation of ``z @ scale + shift``.
+
+    Args:
+        coords: [N, dim] in [-1, 1].
+        z: [total_size, latent_dim] quantized+normalized latents.
+        scale: [latent_dim, F] decode matrix.
+        shift: [1, F] decode bias (pass zeros when unused).
+    Returns: [N, L, F].
+    """
+    out, _ = _affine_fwd_impl(coords, z, scale, shift, spec)
+    return out
+
+
+def _affine_fwd_impl(coords, z, scale, shift, spec):
+    decoded = (z @ scale + shift).astype(jnp.float32)
+    ld = z.shape[-1]
+    both = jnp.concatenate([decoded, z.astype(jnp.float32)], axis=-1)
+    feats, z_gathered, all_idx, all_w = [], [], [], []
+    for lod, res in enumerate(spec.resolutions):
+        first = spec.lod_first_idx[lod]
+        size = spec.lod_sizes[lod]
+        table = jax.lax.dynamic_slice_in_dim(both, first, size, axis=0)
+        idx, w = _lod_corner_indices_and_weights(coords, res, spec)
+        gathered = jnp.take(table, idx, axis=0)            # [N, C, F+ld]
+        feats.append(jnp.sum(gathered[..., :-ld] * w[..., None], axis=1))
+        z_gathered.append(gathered[..., -ld:])
+        all_idx.append(idx)
+        all_w.append(w)
+    out = jnp.stack(feats, axis=1)
+    return out, (all_idx, all_w, z_gathered)
+
+
+def _affine_fwd(coords, z, scale, shift, spec):
+    out, res = _affine_fwd_impl(coords, z, scale, shift, spec)
+    all_idx, all_w, z_gathered = res
+    return out, (all_idx, all_w, z_gathered, scale, z[:0], shift[:0])
+
+
+def _affine_bwd(spec, residuals, g):
+    from shacira_tpu.ops.pallas_scatter import scatter_add
+    all_idx, all_w, z_gathered, scale, z_meta, shift_meta = residuals
+    g = g.astype(jnp.float32)                              # [N, L, F]
+    ld = scale.shape[0]
+    f = scale.shape[1]
+    grad_z_parts = []
+    grad_scale = jnp.zeros_like(scale, dtype=jnp.float32)
+    grad_shift = jnp.zeros((1, f), jnp.float32)
+    for lod in range(spec.num_lods):
+        idx, w = all_idx[lod], all_w[lod]                  # [N, C]
+        gl = g[:, lod, :]                                  # [N, F]
+        gz = gl @ scale.astype(jnp.float32).T              # [N, ld]
+        upd = (gz[:, None, :] * w[:, :, None]).reshape(-1, ld)
+        grad_z_parts.append(
+            scatter_add(idx.reshape(-1), upd, spec.lod_sizes[lod]))
+        zw = z_gathered[lod] * w[..., None]                # [N, C, ld]
+        grad_scale = grad_scale + jnp.einsum('ncl,nf->lf', zw, gl)
+        grad_shift = grad_shift + jnp.einsum('nc,nf->f', w, gl)[None]
+    grad_z = jnp.concatenate(grad_z_parts, axis=0).astype(z_meta.dtype)
+    return (None, grad_z, grad_scale.astype(scale.dtype),
+            grad_shift.astype(shift_meta.dtype))
+
+
+hash_encode_affine.defvjp(_affine_fwd, _affine_bwd)
 
 
 def hash_encode_flat(coords, codebook, spec: HashGridSpec):

@@ -67,9 +67,17 @@ def _compact_eval(field_fn, samples, dirs, mask, max_samples: int):
     flat_mask = mask.reshape(-1)
     flat_samples = samples.reshape(-1, 3)
     flat_dirs = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
-    # stable compaction: slot index via exclusive cumsum of the mask
-    slots = jnp.cumsum(flat_mask) - 1
-    slots = jnp.where(flat_mask, slots, max_samples)          # dropped -> OOB
+    # When the budget overflows (e.g. before the first pruning pass fills the
+    # occupancy grid), drop by stride so remaining samples stay uniformly
+    # distributed across rays instead of starving the tail rays.
+    total = jnp.sum(flat_mask)
+    stride = jnp.maximum(1, -(-total // max_samples))         # ceil div
+    pos = jnp.cumsum(flat_mask) - 1
+    keep = flat_mask & (pos % stride == 0)
+    # stable compaction: slot index via exclusive cumsum of the kept mask
+    slots = jnp.cumsum(keep) - 1
+    slots = jnp.where(keep, slots, max_samples)               # dropped -> OOB
+    flat_mask = keep
     src_idx = jnp.zeros((max_samples,), jnp.int32)
     src_idx = src_idx.at[slots].set(jnp.arange(R * S, dtype=jnp.int32),
                                     mode='drop')

@@ -171,13 +171,18 @@ class ImageTrainer:
 
             def loss_fn(p):
                 encoder = None
+                affine = None
                 if plan_arrays is not None:
                     from shacira_tpu.ops.lattice import lattice_encode
                     encoder = lambda decoded: lattice_encode(
                         plan_arrays, decoded, plan_meta)
+                elif lg.supports_affine_fusion(gcfg):
+                    # sampled mode: latent-width fused backward
+                    affine = lg.affine_parts(p['grid'], gcfg, use_sga=use_sga,
+                                             temperature=temperature, rng=k_sga)
                 pred = neural_image_rgb(p, mcfg, coords, use_sga=use_sga,
                                         temperature=temperature, rng=k_sga,
-                                        encoder=encoder)
+                                        encoder=encoder, affine=affine)
                 rgb_loss = jnp.mean((pred - gt) ** 2)
                 loss = cfg.rgb_loss_weight * rgb_loss
                 aux = {'rgb_loss': rgb_loss, 'pred': pred}

@@ -129,13 +129,22 @@ class MultiviewTrainer:
             rays = make_rays(rays_o, rays_d, dist_min, dist_max)
 
             def loss_fn(p):
-                decoded = lg.decode_codebook(
-                    p['grid'], gcfg, use_sga=use_sga,
-                    temperature=temperature, rng=k_sga)
+                # fused latent-width backward when the decoder is affine
+                if lg.supports_affine_fusion(gcfg):
+                    parts = lg.affine_parts(p['grid'], gcfg, use_sga=use_sga,
+                                            temperature=temperature, rng=k_sga)
 
-                def field_fn(coords, dirs):
-                    return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
-                                              decoded=decoded)
+                    def field_fn(coords, dirs):
+                        return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
+                                                  affine=parts)
+                else:
+                    decoded = lg.decode_codebook(
+                        p['grid'], gcfg, use_sga=use_sga,
+                        temperature=temperature, rng=k_sga)
+
+                    def field_fn(coords, dirs):
+                        return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
+                                                  decoded=decoded)
 
                 rb = rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
                                      tcfg, rays, k_march)

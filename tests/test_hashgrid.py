@@ -126,3 +126,34 @@ def test_static_plan_matches_dynamic():
     g1 = jax.grad(lambda c: jnp.sum(jnp.sin(static_hash_encode(arrays, c, meta))))(cb)
     g2 = jax.grad(lambda c: jnp.sum(jnp.sin(hash_encode(jnp.asarray(coords), c, spec))))(cb)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_affine_fused_matches_decode_then_encode():
+    """hash_encode_affine(z, S, b) must equal hash_encode(z @ S + b) in both
+    values and gradients (z, scale, shift)."""
+    spec = HashGridSpec((5, 9, 33), 6, 2)
+    rng = np.random.RandomState(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (150, 2)).astype(np.float32))
+    z = jnp.asarray(rng.randn(spec.total_size, 2).astype(np.float32))
+    scale = jnp.asarray(rng.randn(2, 4).astype(np.float32) * 0.3)
+    shift = jnp.asarray(rng.randn(1, 4).astype(np.float32) * 0.1)
+    from shacira_tpu.ops.hashgrid import hash_encode_affine
+
+    out_f = hash_encode_affine(coords, z, scale, shift, spec)
+    out_r = hash_encode(coords, z @ scale + shift, spec)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-5)
+
+    tgt = jnp.asarray(rng.randn(150, 3, 4).astype(np.float32))
+
+    def loss_fused(z, s, b):
+        return jnp.sum((hash_encode_affine(coords, z, s, b, spec) - tgt) ** 2)
+
+    def loss_ref(z, s, b):
+        return jnp.sum((hash_encode(coords, z @ s + b, spec) - tgt) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(z, scale, shift)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(z, scale, shift)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)
