@@ -9,6 +9,26 @@ from __future__ import annotations
 import math
 
 
+def grow_loss_lods(epoch: int, num_lods: int, grow_every: int,
+                   growth_strategy: str):
+    """LOD growth curricula (port of BaseTrainer.grow, base_trainer.py:348-364).
+
+    Returns the list of LOD indices to apply the loss at for this epoch.
+    """
+    stage = min(num_lods, epoch // grow_every + 1)  # 1-indexed
+    if growth_strategy == 'onebyone':
+        return [stage - 1]
+    if growth_strategy == 'increase':
+        return list(range(stage))
+    if growth_strategy == 'shrink':
+        return list(range(num_lods))[stage - 1:]
+    if growth_strategy == 'finetocoarse':
+        return list(range(num_lods))[num_lods - stage:]
+    if growth_strategy == 'onlylast':
+        return [num_lods - 1]
+    raise NotImplementedError(growth_strategy)
+
+
 class DecayScheduler:
     """fix / linear / exp / inv_sqrt / cosine schedules (host-side, per epoch)."""
 

@@ -67,14 +67,18 @@ class MultiviewTrainer:
     def __init__(self, cfg: MultiviewTrainerConfig,
                  model_cfg: NeuralRadianceFieldConfig,
                  tracer_cfg: rf_tracer.RFTracerConfig,
-                 dataset, num_rays: int, seed: int = 0):
+                 dataset, num_rays: int, seed: int = 0, mesh=None):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.tracer_cfg = tracer_cfg
         self.dataset = dataset
         self.num_rays = num_rays
+        self.mesh = mesh
         self.rng = jax.random.PRNGKey(seed)
         self.np_rng = np.random.RandomState(seed)
+        if mesh is not None:
+            assert num_rays % mesh.size == 0, (
+                f'num_rays {num_rays} must divide mesh size {mesh.size}')
 
         self.rng, k_init = jax.random.split(self.rng)
 
@@ -87,6 +91,10 @@ class MultiviewTrainer:
         (self.params, self.opt_state, self.noise,
          self.occ_state) = jax.jit(_init)(k_init)
         self.labels = optim.label_params(self.params, optim.shacira_label_fn)
+        if mesh is not None:
+            from shacira_tpu.parallel import mesh as pmesh
+            for attr in ('params', 'opt_state', 'noise', 'occ_state'):
+                setattr(self, attr, pmesh.replicate(mesh, getattr(self, attr)))
 
         gcfg = model_cfg.grid
         self.ldecode_enabled = gcfg.ldec is not None
@@ -255,9 +263,18 @@ class MultiviewTrainer:
             self.rng, k = jax.random.split(self.rng)
             xs['rng'] = jax.random.split(k, n)
             ro, rd, gt = self._presample(n)
-            xs['rays_o'] = jnp.asarray(ro)
-            xs['rays_d'] = jnp.asarray(rd)
-            xs['gt'] = jnp.asarray(gt)
+            if self.mesh is not None:
+                # shard the ray axis (dim 1) across the data axis; params
+                # stay replicated and XLA psums the gradients
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.mesh, P(None, 'data'))
+                xs['rays_o'] = jax.device_put(ro, sh)
+                xs['rays_d'] = jax.device_put(rd, sh)
+                xs['gt'] = jax.device_put(gt, sh)
+            else:
+                xs['rays_o'] = jnp.asarray(ro)
+                xs['rays_d'] = jnp.asarray(rd)
+                xs['gt'] = jnp.asarray(gt)
 
             run = self._get_chunk_fn(use_sga)
             (self.params, self.opt_state, self.noise), metrics = run(

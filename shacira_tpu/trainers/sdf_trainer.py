@@ -29,6 +29,8 @@ class SDFTrainerConfig:
     weight_decay: float = 0.0
     optimizer_type: str = 'adam'
     loss_lods: Tuple[int, ...] = ()   # empty -> max LOD only
+    grow_every: int = -1              # epochs between LOD-growth stages
+    growth_strategy: str = 'increase'  # onebyone|increase|shrink|finetocoarse|onlylast
     chunk_size: int = 50
     log_every: int = 1
 
@@ -55,18 +57,29 @@ class SDFTrainer:
         num_lods = model_cfg.grid.num_lods
         self.loss_lods = (tuple(cfg.loss_lods) if cfg.loss_lods
                           else (num_lods - 1,))
-        # per-LOD masks: loss at LOD l uses features of LODs <= l
-        self._lod_masks = [
-            jnp.asarray([1.0 if i <= l else 0.0 for i in range(num_lods)])
-            for l in self.loss_lods]
 
-    def _get_chunk_fn(self):
-        if 'chunk' in self._fns:
-            return self._fns['chunk']
+    def _current_loss_lods(self) -> Tuple[int, ...]:
+        """Growth curricula (ref BaseTrainer.grow, base_trainer.py:348-364)."""
+        cfg = self.cfg
+        if cfg.grow_every <= 0:
+            return self.loss_lods
+        from shacira_tpu.core.schedulers import grow_loss_lods
+        epoch = self.iteration // max(1, len(self.dataset))
+        return tuple(grow_loss_lods(epoch, self.model_cfg.grid.num_lods,
+                                    cfg.grow_every, cfg.growth_strategy))
+
+    def _get_chunk_fn(self, loss_lods: Tuple[int, ...]):
+        key = ('chunk', loss_lods)
+        if key in self._fns:
+            return self._fns[key]
         cfg, mcfg = self.cfg, self.model_cfg
         wd = {'grid': cfg.weight_decay}
         labels = self.labels
-        lod_masks = self._lod_masks
+        num_lods = mcfg.grid.num_lods
+        # per-LOD masks: loss at LOD l uses features of LODs <= l
+        lod_masks = [
+            jnp.asarray([1.0 if i <= l else 0.0 for i in range(num_lods)])
+            for l in loss_lods]
 
         def step(params, opt_state, coords, gts):
             def loss_fn(p):
@@ -94,7 +107,7 @@ class SDFTrainer:
             return jax.lax.scan(body, (params, opt_state), xs)
 
         fn = jax.jit(run_chunk, donate_argnums=(0, 1))
-        self._fns['chunk'] = fn
+        self._fns[key] = fn
         return fn
 
     def train(self, num_iterations: Optional[int] = None, log_fn=None):
@@ -110,7 +123,7 @@ class SDFTrainer:
             for i in range(n):
                 coords[i], sdfs[i] = self.dataset.batch()
             xs = {'coords': jnp.asarray(coords), 'sdf': jnp.asarray(sdfs)}
-            run = self._get_chunk_fn()
+            run = self._get_chunk_fn(self._current_loss_lods())
             (self.params, self.opt_state), losses = run(
                 self.params, self.opt_state, xs)
             self.iteration += n

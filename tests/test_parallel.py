@@ -1,0 +1,59 @@
+"""Multi-device data parallelism: sharded training matches single-device."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shacira_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from shacira_tpu.datasets.image import ImageDataset
+from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+from shacira_tpu.models.nefs.image import NeuralImageConfig
+from shacira_tpu.trainers.image_trainer import ImageTrainer, ImageTrainerConfig
+
+
+def _setup(mesh=None):
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 16, 3).astype(np.float32)
+    ds = ImageDataset(img, sample_mode='full')
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=1, num_lods=4, min_grid_res=4, max_grid_res=16,
+        latent_dim=1, multiscale_type='cat', resolution_dim=2,
+        feature_std=0.1, codebook_bitwidth=6, init_grid='uniform',
+        num_prob_layers=2, entropy_enabled=True,
+    ).with_ldec(dict(norm='max', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1))
+    mcfg = NeuralImageConfig(grid=grid, hidden_dim=8, num_layers=1)
+    tcfg = ImageTrainerConfig(epochs=60, log_every=-1, entropy_reg=1e-4,
+                              entropy_reg_end=1e-4, chunk_size=30,
+                              norm='max')
+    return ImageTrainer(tcfg, mcfg, ds, seed=0, mesh=mesh)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.size == 8          # conftest forces 8 virtual CPU devices
+
+
+def test_sharded_training_matches_single_device():
+    t1 = _setup(mesh=None)
+    t1.train(epochs=60, finalize=False)
+    single = jax.tree.map(np.asarray, t1.params)
+
+    t8 = _setup(mesh=make_mesh())
+    t8.train(epochs=60, finalize=False)
+    sharded = jax.tree.map(np.asarray, t8.params)
+
+    # same rng stream + deterministic ops -> results match to fp tolerance
+    # (reduction order differs across shards)
+    cb1 = single['grid']['codebook']
+    cb8 = sharded['grid']['codebook']
+    np.testing.assert_allclose(cb1, cb8, rtol=5e-3, atol=5e-3)
+
+
+def test_batch_actually_sharded():
+    mesh = make_mesh()
+    x = np.arange(64, dtype=np.float32).reshape(64, 1)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape == (8, 1)
+    p = jax.device_put(np.ones(3), replicated(mesh))
+    assert p.addressable_shards[0].data.shape == (3,)

@@ -106,3 +106,28 @@ def test_sdf_trainer_converges_and_iou():
     trainer.train(num_iterations=300)
     m = trainer.validate()
     assert m['iou'] > 90, m
+
+
+def test_growth_strategies():
+    from shacira_tpu.core.schedulers import grow_loss_lods
+    assert grow_loss_lods(0, 4, 10, 'onebyone') == [0]
+    assert grow_loss_lods(25, 4, 10, 'onebyone') == [2]
+    assert grow_loss_lods(25, 4, 10, 'increase') == [0, 1, 2]
+    assert grow_loss_lods(25, 4, 10, 'shrink') == [2, 3]
+    assert grow_loss_lods(25, 4, 10, 'finetocoarse') == [1, 2, 3]
+    assert grow_loss_lods(25, 4, 10, 'onlylast') == [3]
+    assert grow_loss_lods(999, 4, 10, 'increase') == [0, 1, 2, 3]
+
+
+def test_sdf_trainer_with_growth():
+    ds = sdf_ds.from_analytic(sphere_sdf, num_samples=4000, batch_size=512, seed=0)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=0, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.01, codebook_bitwidth=6, init_grid='normal')
+    mcfg = NeuralSDFConfig(grid=grid, hidden_dim=16, num_layers=1)
+    tr = SDFTrainer(SDFTrainerConfig(epochs=6, chunk_size=10, grow_every=2,
+                                     growth_strategy='increase'),
+                    mcfg, ds, seed=0)
+    tr.train(num_iterations=40)
+    assert tr.iteration == 40
