@@ -79,3 +79,76 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(back['params']['w'],
                                   np.arange(6.0).reshape(2, 3))
     assert back['step'] == 7 and back['name'] == 'x'
+
+
+def test_web_viewer_renders_jpeg():
+    from shacira_tpu.render.web_viewer import ViewerServer
+    from shacira_tpu.render.offline import CameraConfig
+
+    def trace_fn(rays, key):
+        o, d = rays.origins, rays.dirs
+        b = jnp.sum(o * d, -1)
+        c = jnp.sum(o * o, -1) - 0.25
+        hit = (b * b - c) > 0
+        rgb = jnp.where(hit[:, None], 0.3, 1.0)
+        return {'rgb': jnp.broadcast_to(rgb, (rgb.shape[0], 3))}
+
+    v = ViewerServer(trace_fn, CameraConfig(width=16, height=16))
+    frame = v.render_frame(0.5, 0.3, 3.0)
+    assert frame.shape == (16, 16, 3)
+    data = v.render_jpeg(0.5, 0.3, 3.0)
+    assert data[:2] == b'\xff\xd8'  # JPEG magic
+
+
+def test_web_viewer_http_roundtrip():
+    import urllib.request
+    from shacira_tpu.render.web_viewer import ViewerServer
+    from shacira_tpu.render.offline import CameraConfig
+
+    def trace_fn(rays, key):
+        return {'rgb': jnp.ones_like(rays.origins)}
+
+    v = ViewerServer(trace_fn, CameraConfig(width=8, height=8), port=18923)
+    v.start_background()
+    import time
+    time.sleep(0.3)
+    try:
+        html = urllib.request.urlopen('http://127.0.0.1:18923/').read()
+        assert b'shacira_tpu viewer' in html
+        jpg = urllib.request.urlopen(
+            'http://127.0.0.1:18923/render?theta=0&phi=0&radius=3').read()
+        assert jpg[:2] == b'\xff\xd8'
+    finally:
+        v.shutdown()
+
+
+def test_multihost_helpers():
+    from shacira_tpu.parallel import multihost
+    multihost.initialize()                  # single-process no-op
+    mesh = multihost.global_mesh()
+    assert mesh.size == 8
+    sl = multihost.host_local_batch_slice(64)
+    assert sl == slice(0, 64)               # single process loads everything
+
+
+def test_pipeline_and_decode_once():
+    from shacira_tpu.models.pipeline import Pipeline, decode_once
+    from shacira_tpu.models.grids.latent_grid import (
+        LatentGridConfig, latent_grid_init)
+    from shacira_tpu.models.grids import latent_grid as lg
+    cfg = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=1, multiscale_type='cat', resolution_dim=2,
+        feature_std=0.5, codebook_bitwidth=5, init_grid='normal',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1))
+    params = {'grid': latent_grid_init(jax.random.PRNGKey(0), cfg)}
+    decoded = decode_once(params, cfg)
+    coords = jnp.full((4, 2), 0.25)
+    a = lg.interpolate(params['grid'], cfg, coords, decoded=decoded)
+    b = lg.interpolate(params['grid'], cfg, coords)       # decodes internally
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    p = Pipeline(nef_fn=lambda prm, c: lg.interpolate(prm['grid'], cfg, c,
+                                                      decoded=decoded))
+    out = p(params, coords)
+    assert out.shape == (4, 6)
