@@ -91,7 +91,7 @@ def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
               use_sga: bool = False, temperature: float = 1.0,
               rng: Optional[jax.Array] = None,
               decoded: Optional[jax.Array] = None,
-              affine=None):
+              affine=None, lod_mask: Optional[jax.Array] = None):
     """coords [..., 3], ray_d [..., 3] -> (rgb [..., 3], density [..., 1]).
 
     Mirrors NeuralRadianceField.rgba (nerf.py:192-234) incl. the negated view
@@ -99,7 +99,7 @@ def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
     """
     feats = lg.interpolate(params['grid'], cfg.grid, coords,
                            use_sga=use_sga, temperature=temperature, rng=rng,
-                           decoded=decoded, affine=affine)
+                           decoded=decoded, affine=affine, lod_mask=lod_mask)
     if cfg.pos_embed_dim:
         if cfg.pos_embedder == 'positional':
             emb = positional_embed(PositionalEmbedderConfig(

@@ -166,3 +166,15 @@ def trilinear_coeffs(coords, cells, level: int):
     return jnp.concatenate([
         gx * gy * gz, gx * gy * fz, gx * fy * gz, gx * fy * fz,
         fx * gy * gz, fx * gy * fz, fx * fy * gz, fx * fy * fz], axis=-1)
+
+
+def total_variation(features, trinkets):
+    """Mean squared difference between features of x-adjacent cell corners
+    (ref wisp/ops/spc/metrics.py:12 total_variation): for each cell, corners
+    j and j^4 differ along x; penalize their feature difference."""
+    import jax.numpy as jnp
+    f = features[trinkets]                     # [M, 8, F]
+    dx = f[:, 4:] - f[:, :4]
+    dy = f[:, (2, 3, 6, 7), :] - f[:, (0, 1, 4, 5), :]
+    dz = f[:, (1, 3, 5, 7), :] - f[:, (0, 2, 4, 6), :]
+    return (jnp.mean(dx ** 2) + jnp.mean(dy ** 2) + jnp.mean(dz ** 2)) / 3.0

@@ -58,6 +58,9 @@ class MultiviewTrainerConfig:
     noise_freq: int = 1
     # pruning
     prune_every: int = 100          # iterations (-1 disables)
+    # random LOD curriculum (ref multiview_trainer.py:91-99): sample a max
+    # LOD per step from a geometric distribution and mask finer LODs
+    random_lod: bool = False
     # execution
     chunk_size: int = 100
     log_every: int = 10             # epochs
@@ -128,7 +131,7 @@ class MultiviewTrainer:
         dist_min, dist_max = self.dataset.dist_min, self.dataset.dist_max
 
         def step(params, opt_state, noise, occ_state, rays_o, rays_d, gt, rng,
-                 ent_lambda, temperature, lr_ldec, refresh_noise):
+                 ent_lambda, temperature, lr_ldec, refresh_noise, lod_mask):
             k_sga, k_noise, k_march = jax.random.split(rng, 3)
             if entropy_on:
                 fresh = jax.random.uniform(k_noise, noise.shape) - 0.5
@@ -144,7 +147,8 @@ class MultiviewTrainer:
 
                     def field_fn(coords, dirs):
                         return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
-                                                  affine=parts)
+                                                  affine=parts,
+                                                  lod_mask=lod_mask)
                 else:
                     decoded = lg.decode_codebook(
                         p['grid'], gcfg, use_sga=use_sga,
@@ -152,7 +156,8 @@ class MultiviewTrainer:
 
                     def field_fn(coords, dirs):
                         return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
-                                                  decoded=decoded)
+                                                  decoded=decoded,
+                                                  lod_mask=lod_mask)
 
                 rb = rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
                                      tcfg, rays, k_march)
@@ -198,7 +203,7 @@ class MultiviewTrainer:
                     params, opt_state, noise, occ_state,
                     x['rays_o'], x['rays_d'], x['gt'], x['rng'],
                     x['ent_lambda'], x['temperature'], x['lr_ldec'],
-                    x['refresh_noise'])
+                    x['refresh_noise'], x['lod_mask'])
                 return (params, opt_state, noise), metrics
 
             return jax.lax.scan(body, (params, opt_state, noise), xs)
@@ -262,6 +267,15 @@ class MultiviewTrainer:
             }
             self.rng, k = jax.random.split(self.rng)
             xs['rng'] = jax.random.split(k, n)
+            num_lods = self.model_cfg.grid.num_lods
+            if cfg.random_lod:
+                # geometric distribution over LODs (weights 2^i, ref :93-96)
+                w = 2.0 ** np.arange(num_lods)
+                lods = self.np_rng.choice(num_lods, size=n, p=w / w.sum())
+                masks = (np.arange(num_lods)[None, :] <= lods[:, None])
+                xs['lod_mask'] = jnp.asarray(masks.astype(np.float32))
+            else:
+                xs['lod_mask'] = jnp.ones((n, num_lods), jnp.float32)
             ro, rd, gt = self._presample(n)
             if self.mesh is not None:
                 # shard the ray axis (dim 1) across the data axis; params
