@@ -1,0 +1,194 @@
+"""End-to-end golden test against a PyTorch transcription of the reference.
+
+BASELINE.md parity surface: rendered pixels, pixel gradients and the rate
+loss must be allclose to the PyTorch reference.  This test rebuilds the
+reference's image-INR training step in torch — STE quantize, affine latent
+decode (basic_latent_decoder.py:182-198), multi-LOD hash interpolation
+(hashgrid_interpolate2d_cuda.cu), MLP head, MSE + entropy-model rate loss
+(latent_grid.py:122-136), and one torch.optim.Adam step with the reference's
+param groups (base_trainer.py:206-266) — from identical initial parameters,
+and checks our jitted step reproduces predictions, losses, gradients and
+updated parameters.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from shacira_tpu.ops.hashgrid import HashGridSpec, PRIMES, use_direct_index, hash_encode
+from shacira_tpu.models.grids.latent_grid import (
+    LatentGridConfig, latent_grid_init, ent_loss as jax_ent_loss)
+from shacira_tpu.models.nefs.image import (
+    NeuralImageConfig, neural_image_init, neural_image_rgb)
+from shacira_tpu import optim as jopt
+
+SPEC = dict(feature_dim=2, num_lods=4, min_grid_res=4, max_grid_res=32,
+            latent_dim=1, multiscale_type='cat', resolution_dim=2,
+            feature_std=0.6, codebook_bitwidth=6, init_grid='normal',
+            num_prob_layers=2, entropy_enabled=True)
+
+
+def torch_hash_interp2d(coords_t, table_t, spec: HashGridSpec):
+    """Reference 2D kernel math in torch (hashgrid_interpolate2d_cuda.cu)."""
+    feats = []
+    for lod, res in enumerate(spec.resolutions):
+        first = spec.lod_first_idx[lod]
+        size = spec.lod_sizes[lod]
+        tab = table_t[first:first + size]
+        x = torch.clamp(res * (coords_t * 0.5 + 0.5), 0, res - 1 - 1e-5)
+        pos = torch.floor(x)
+        frac = x - pos
+        pos = pos.long()
+        acc = 0.0
+        for j in range(4):
+            bx, by = (j >> 1) & 1, j & 1
+            cx = pos[:, 0] + bx
+            cy = pos[:, 1] + by
+            if use_direct_index(res, spec.codebook_size, 2):
+                idx = cx + cy * res
+            else:
+                h = (cx.to(torch.int64) * PRIMES[0]) ^ (cy.to(torch.int64) * PRIMES[1])
+                idx = (h % (1 << 32)) % spec.codebook_size
+            w = ((frac[:, 0] if bx else 1 - frac[:, 0])
+                 * (frac[:, 1] if by else 1 - frac[:, 1]))
+            acc = acc + tab[idx] * w[:, None]
+        feats.append(acc)
+    return torch.cat(feats, dim=-1)                     # [N, L*F]
+
+
+def torch_bit_estimator(params_np, x, num_layers=2):
+    def bitparm(layer, x, final):
+        h = torch.from_numpy(np.asarray(layer['h']))
+        b = torch.from_numpy(np.asarray(layer['b']))
+        if final:
+            return torch.sigmoid(x * F.softplus(h) + b)
+        a = torch.from_numpy(np.asarray(layer['a']))
+        x = x * F.softplus(h) + b
+        return x + torch.tanh(x) * torch.tanh(a)
+    if num_layers > 1:
+        x = bitparm(params_np['f1'], x, False)
+    if num_layers > 2:
+        x = bitparm(params_np['f2'], x, False)
+    if num_layers > 3:
+        x = bitparm(params_np['f3'], x, False)
+    return bitparm(params_np['f4'], x, True)
+
+
+class STERound(torch.autograd.Function):
+    @staticmethod
+    def forward(ctx, x):
+        return torch.round(x)
+
+    @staticmethod
+    def backward(ctx, g):
+        return g
+
+
+def test_end_to_end_step_matches_torch():
+    gcfg = LatentGridConfig.from_geometric(**SPEC).with_ldec(
+        dict(norm='none', ldecode_matrix='sq', use_shift=True, ldec_std=0.4))
+    mcfg = NeuralImageConfig(grid=gcfg, hidden_dim=8, num_layers=1)
+    params = neural_image_init(jax.random.PRNGKey(0), mcfg)
+    spec = gcfg.spec
+
+    rng = np.random.RandomState(0)
+    coords = rng.uniform(-1, 1, (64, 2)).astype(np.float32)
+    gts = rng.rand(64, 3).astype(np.float32)
+    noise = rng.rand(spec.total_size, 1).astype(np.float32) - 0.5
+    lam = 1e-3
+
+    # ---- torch replica ----
+    g = params['grid']
+    cb_t = torch.nn.Parameter(torch.from_numpy(np.asarray(g['codebook']).copy()))
+    scale_t = torch.nn.Parameter(torch.from_numpy(
+        np.asarray(g['latent_dec']['layers'][0]['scale']).copy()))
+    shift_t = torch.nn.Parameter(torch.from_numpy(
+        np.asarray(g['latent_dec']['layers'][0]['shift']).copy()))
+    div_t = torch.from_numpy(np.asarray(g['latent_dec']['div']).copy())
+    mlp = params['decoder_color']['layers']
+    w0 = torch.nn.Parameter(torch.from_numpy(np.asarray(mlp[0]['w']).copy()))
+    b0 = torch.nn.Parameter(torch.from_numpy(np.asarray(mlp[0]['b']).copy()))
+    w1 = torch.nn.Parameter(torch.from_numpy(np.asarray(mlp[1]['w']).copy()))
+    b1 = torch.nn.Parameter(torch.from_numpy(np.asarray(mlp[1]['b']).copy()))
+    prob_np = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+               for k, v in g['prob_model'].items()}
+    prob_t = {k: {kk: torch.nn.Parameter(torch.from_numpy(vv.copy()))
+                  for kk, vv in v.items()} for k, v in prob_np.items()}
+
+    def torch_forward():
+        decoded = (STERound.apply(cb_t) / div_t) @ scale_t + shift_t
+        feats = torch_hash_interp2d(torch.from_numpy(coords), decoded, spec)
+        h = torch.relu(feats @ w0 + b0)
+        pred = h @ w1 + b1
+        rgb_loss = ((pred - torch.from_numpy(gts)) ** 2).mean()
+        # rate loss (latent_grid.py:122-136)
+        wgt = cb_t + torch.from_numpy(noise)
+        def prob_model(x):
+            def bitparm(layer, x, final):
+                if final:
+                    return torch.sigmoid(x * F.softplus(layer['h']) + layer['b'])
+                x = x * F.softplus(layer['h']) + layer['b']
+                return x + torch.tanh(x) * torch.tanh(layer['a'])
+            x = bitparm(prob_t['f1'], x, False)
+            return bitparm(prob_t['f4'], x, True)
+        prob = prob_model(wgt + 0.5) - prob_model(wgt - 0.5)
+        bits = torch.clamp(-torch.log(prob + 1e-10) / np.log(2.0), 0, 50)
+        total_bits = bits.sum()
+        ent = total_bits / cb_t.shape[0]
+        return pred, rgb_loss, ent, rgb_loss + lam * ent
+
+    pred_t, rgb_loss_t, ent_t, loss_t = torch_forward()
+    topt = torch.optim.Adam([
+        {'params': [w0, b0, w1, b1], 'lr': 1e-3, 'weight_decay': 0.0},
+        {'params': [cb_t], 'lr': 2e-2, 'weight_decay': 0.0},
+        {'params': [scale_t, shift_t], 'lr': 1e-2, 'weight_decay': 0.0},
+        {'params': list(prob_t['f1'].values()) + list(prob_t['f4'].values()),
+         'lr': 1e-4, 'weight_decay': 0.0},
+    ])
+    topt.zero_grad()
+    loss_t.backward()
+    cb_grad_t = cb_t.grad.detach().numpy().copy()
+    topt.step()
+
+    # ---- jax step ----
+    labels = jopt.label_params(params, jopt.shacira_label_fn)
+    opt_state = jopt.adam_init(params)
+    jc = jnp.asarray(coords)
+    jg = jnp.asarray(gts)
+    jn = jnp.asarray(noise)
+
+    def loss_fn(p):
+        pred = neural_image_rgb(p, mcfg, jc)
+        rgb_loss = jnp.mean((pred - jg) ** 2)
+        avg_bits, _ = jax_ent_loss(p['grid'], gcfg, jn)
+        return rgb_loss + lam * avg_bits, (pred, rgb_loss, avg_bits)
+
+    (loss_j, (pred_j, rgb_loss_j, ent_j)), grads = \
+        jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    # forward parity
+    np.testing.assert_allclose(np.asarray(pred_j), pred_t.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(rgb_loss_j), float(rgb_loss_t), rtol=1e-5)
+    np.testing.assert_allclose(float(ent_j), float(ent_t), rtol=1e-4)
+
+    # pixel-gradient parity (grad wrt codebook through STE + decode + interp)
+    np.testing.assert_allclose(np.asarray(grads['grid']['codebook']),
+                               cb_grad_t, rtol=1e-3, atol=1e-6)
+
+    # one optimizer step parity
+    new_params, _ = jopt.adam_update(
+        grads, opt_state, params, labels,
+        lr={'decoder': jnp.asarray(1e-3), 'grid': jnp.asarray(2e-2),
+            'latent_dec': jnp.asarray(1e-2), 'prob_models': jnp.asarray(1e-4),
+            'rest': jnp.asarray(1e-3)},
+        weight_decay={})
+    np.testing.assert_allclose(np.asarray(new_params['grid']['codebook']),
+                               cb_t.detach().numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_params['decoder_color']['layers'][0]['w']),
+        w0.detach().numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_params['grid']['latent_dec']['layers'][0]['scale']),
+        scale_t.detach().numpy(), rtol=1e-4, atol=1e-6)
