@@ -1,0 +1,64 @@
+"""NeRF training throughput benchmark (rays/s) — lego-shaped config.
+
+Secondary benchmark (the driver runs bench.py; this script instruments the
+NeRF path): trains the nerf_lego LatentGrid configuration on a synthetic
+multiview scene and reports rays/s on the available accelerator.
+Usage: python bench_nerf.py [--iters N]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    sys.path.insert(0, 'tests')
+    from test_nerf import synthetic_scene
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.tracers import rf_tracer
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+
+    iters = 30
+    if '--iters' in sys.argv:
+        iters = int(sys.argv[sys.argv.index('--iters') + 1])
+
+    data = synthetic_scene(num_views=20, res=64)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=4, num_lods=24, min_grid_res=16, max_grid_res=512,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=19, init_grid='normal',
+        num_prob_layers=1, entropy_enabled=True,
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=128, num_layers=1,
+                                     view_embedder='positional',
+                                     view_multires=4, blas_level=7)
+    tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
+                                    bg_color='white', max_samples=262144)
+    cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
+                                 use_sga=True, temperature=1.0,
+                                 entropy_reg=1e-4, entropy_reg_end=1e-4)
+    tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)
+
+    tr.train(num_iterations=10)                       # warmup + compile
+    np.asarray(tr.params['grid']['codebook'][0:1])
+    t0 = time.time()
+    tr.train(num_iterations=iters)
+    np.asarray(tr.params['grid']['codebook'][0:1])
+    dt = time.time() - t0
+    rays_s = 4096 * iters / dt
+    print(json.dumps({
+        'metric': 'nerf_train_rays_per_s',
+        'value': round(rays_s, 1),
+        'unit': 'rays/s',
+        'config': 'lego-shaped: 24 LODs bw19 F4, ray-march 2048 steps, '
+                  '4096 rays/iter, 262144-sample budget',
+    }))
+
+
+if __name__ == '__main__':
+    main()

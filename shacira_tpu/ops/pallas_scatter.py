@@ -26,33 +26,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scatter_kernel(idx_ref, val_ref, out_ref, *, P, E, F, B):
+def _scatter_kernel(idx_ref, val_ref, out_ref, *, P, E, F, B, SUB):
+    """Samples live on the LANE axis (1-D idx block, [F, B] value block) so
+    VMEM footprints stay compact; each sub-block builds its one-hot factors
+    as [P, SUB] / [E*F, SUB] (broadcast over sublanes — no relayouts) and
+    contracts over the lane axis on the MXU."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[:]                                     # [B, 1]
-    vals = val_ref[:]                                    # [B, F]
-    page = idx // E                                      # [B, 1]
-    entry = idx % E                                      # [B, 1]
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-    a = (page == p_iota).astype(jnp.bfloat16)            # [B, P]
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (B, E * F), 1) // F
-    f_iota = jax.lax.broadcasted_iota(jnp.int32, (B, E * F), 1) % F
-    # B_blk[n, e*F + f] = 1[entry_n == e] * val[n, f] without a 3-D temp
-    vals_b = vals.astype(jnp.bfloat16)
-    val_rep = jnp.tile(vals_b, (1, E))                   # [B, E*F], j -> f=j%F
-    del f_iota
-    b_blk = jnp.where(entry == e_iota, val_rep, jnp.bfloat16(0))
-    # contract over the block axis on the MXU: [P, B] x [B, E*F]
-    out_ref[:] += jax.lax.dot_general(
-        a, b_blk, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    def body(s, carry):
+        off = pl.multiple_of(s * SUB, SUB)
+        idx = idx_ref[pl.ds(off, SUB)]                   # [SUB] (lanes)
+        vals = val_ref[:, pl.ds(off, SUB)]               # [F, SUB]
+        page = (idx // E)[None, :]                       # [1, SUB]
+        entry = (idx % E)[None, :]                       # [1, SUB]
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, SUB), 0)
+        a = (page == p_iota).astype(jnp.bfloat16)        # [P, SUB]
+        ef_iota = jax.lax.broadcasted_iota(jnp.int32, (E * F, SUB), 0) // F
+        val_rep = jnp.tile(vals.astype(jnp.bfloat16), (E, 1))   # [E*F, SUB]
+        b = jnp.where(entry == ef_iota, val_rep, jnp.bfloat16(0))
+        # contract over the lane (sample) axis: [P, SUB] x [E*F, SUB]^T,
+        # accumulating straight into the resident output block (saves an
+        # accumulator copy of the [P, E*F] f32 table in VMEM)
+        out_ref[:] += jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, B // SUB, body, 0)
 
 
-def onehot_scatter_add(idx, vals, table_size: int, *, block: int = 256,
+def onehot_scatter_add(idx, vals, table_size: int, *, block: int = 16384,
+                       sub_block: int = 1024,
                        entries: int = None, interpret: bool = False):
     """Deterministic scatter-add: out[t] += sum over idx==t of vals.
 
@@ -66,7 +74,14 @@ def onehot_scatter_add(idx, vals, table_size: int, *, block: int = 256,
         [table_size, F] float32.
     """
     n, f = vals.shape
-    e = entries or min(table_size, 1024)
+    # balance the [P, SUB] / [E*F, SUB] one-hot factors and shrink the
+    # sub-block when the output table footprint (T*F*4B) is large
+    e = entries or max(8, min(table_size, 1024 // max(f, 1)))
+    if table_size * f * 4 > 4 * 1024 * 1024:
+        sub_block = min(sub_block, 512 * 1024 // max(1, table_size * f // 2048))
+        sub_block = max(1024, sub_block // 1024 * 1024)
+    block = max(block, sub_block)
+    block = -(-block // sub_block) * sub_block
     # pad table to a multiple of E
     t_pad = -(-table_size // e) * e
     p = t_pad // e
@@ -77,14 +92,15 @@ def onehot_scatter_add(idx, vals, table_size: int, *, block: int = 256,
     n_pad = idx.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, P=p, E=e, F=f, B=block),
+        functools.partial(_scatter_kernel, P=p, E=e, F=f, B=block,
+                          SUB=min(sub_block, block)),
         out_shape=jax.ShapeDtypeStruct((p, e * f), jnp.float32),
         grid=(n_pad // block,),
-        in_specs=[pl.BlockSpec((block, 1), lambda i: (i, 0)),
-                  pl.BlockSpec((block, f), lambda i: (i, 0))],
+        in_specs=[pl.BlockSpec((block,), lambda i: (i,)),
+                  pl.BlockSpec((f, block), lambda i: (0, i))],
         out_specs=pl.BlockSpec((p, e * f), lambda i: (0, 0)),
         interpret=interpret,
-    )(idx.astype(jnp.int32)[:, None], vals)
+    )(idx.astype(jnp.int32), vals.T)
     return out.reshape(t_pad, f)[:table_size]
 
 
