@@ -148,10 +148,15 @@ def _lod_corner_indices_and_weights(coords, res: int, spec: HashGridSpec):
     """
     dim = spec.dim
     cs = spec.codebook_size
-    # Reference coordinate transform (cu:68-70).
+    # Reference coordinate transform (cu:68-70).  NOTE: the reference's upper
+    # clamp bound ``res - 1 - 1e-5`` rounds to ``res - 1`` in float32 for
+    # res >~ 170, letting the +1 corner index reach ``res`` — an out-of-bounds
+    # read the CUDA kernel silently absorbs (reads the next LOD's memory).
+    # We clamp the cell to res-2 instead, which matches the float64 semantics
+    # of the formula (cell in [0, res-2], frac in [0, 1]).
     x = jnp.clip(res * (coords.astype(jnp.float32) * 0.5 + 0.5), 0.0, res - 1 - 1e-5)
-    pos = jnp.floor(x)
-    frac = x - pos
+    pos = jnp.minimum(jnp.floor(x), max(res - 2, 0))
+    frac = jnp.clip(x - pos, 0.0, 1.0)
     pos = pos.astype(jnp.int32)
 
     offs = jnp.asarray(spec.corner_offsets)          # [C, dim]

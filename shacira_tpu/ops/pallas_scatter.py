@@ -104,13 +104,24 @@ def onehot_scatter_add(idx, vals, table_size: int, *, block: int = 16384,
     return out.reshape(t_pad, f)[:table_size]
 
 
+# measured on v5e: XLA row-scatter ~73 ns/row; the one-hot matmul costs
+# ~T*F*2 / 140 TFLOP/s per row -> crossover at T*F ~ 5M (e.g. pearl's 2^23
+# tables must use the XLA path, lego's 2^19 x latent_dim=1 uses Pallas)
+_XLA_SCATTER_NS_PER_ROW = 73.0
+_MXU_FLOPS = 140e12
+
+
 def scatter_add(idx, vals, table_size: int):
-    """Dispatch: Pallas one-hot matmul scatter on TPU, XLA scatter elsewhere."""
+    """Dispatch: Pallas one-hot matmul scatter on TPU when the matmul wins,
+    XLA scatter otherwise (cost model above)."""
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = 'cpu'
-    if platform in ('tpu', 'axon') and table_size >= 256:
+    f = vals.shape[-1]
+    pallas_ns_per_row = table_size * f * 2 / _MXU_FLOPS * 1e9
+    if (platform in ('tpu', 'axon') and 256 <= table_size
+            and pallas_ns_per_row < _XLA_SCATTER_NS_PER_ROW):
         return onehot_scatter_add(idx, vals, table_size)
-    return jnp.zeros((table_size, vals.shape[-1]),
+    return jnp.zeros((table_size, f),
                      jnp.float32).at[idx].add(vals.astype(jnp.float32))

@@ -69,6 +69,9 @@ class ImageTrainerConfig:
     entropy_reg_end: float = 0.0
     entropy_reg_sched: str = 'cosine'
     noise_freq: int = 1
+    # dataset resampling for 'woreplace' (ref pre_epoch, image_trainer.py:119-121)
+    resample: bool = False
+    resample_every: int = 1
     # execution
     chunk_size: int = 500            # scan steps per device dispatch
     # logging
@@ -359,6 +362,9 @@ class ImageTrainer:
         done = 0
         while done < total:
             e0 = self.epoch + 1
+            if (cfg.resample and e0 > 1 and hasattr(ds, 'resample')
+                    and (e0 - 1) % max(1, cfg.resample_every) == 0):
+                ds.resample()
             use_sga = self._use_sga_at(e0)
             n = min(max(1, cfg.chunk_size), total - done)
             if use_sga:

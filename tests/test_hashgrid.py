@@ -157,3 +157,26 @@ def test_affine_fused_matches_decode_then_encode():
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_no_oob_at_large_direct_resolutions():
+    """Regression: for res >~170 the reference's float32 clamp bound
+    ``res-1-1e-5`` rounds to res-1, producing out-of-bounds corner indices
+    (a silent OOB read in the reference CUDA; NaN fills through jnp.take).
+    Our corner clamp must keep every index in range at coords near +1."""
+    spec = HashGridSpec(geometric_resolutions(16, 512, 16), 21, 2)
+    rng = np.random.RandomState(0)
+    coords = np.concatenate([
+        rng.uniform(-1, 1, (512, 2)),
+        np.full((8, 2), 1.0),            # exactly at the boundary
+        np.full((8, 2), 1.0 - 1e-7),
+    ]).astype(np.float32)
+    cb = jnp.asarray(rng.randn(spec.total_size, 4).astype(np.float32))
+    out = hash_encode(jnp.asarray(coords), cb, spec)
+    assert not bool(jnp.isnan(out).any())
+    # per-LOD indices stay in bounds
+    from shacira_tpu.ops.hashgrid import _lod_corner_indices_and_weights
+    for lod, res in enumerate(spec.resolutions):
+        idx, w = _lod_corner_indices_and_weights(jnp.asarray(coords), res, spec)
+        assert int(jnp.max(idx)) < spec.lod_sizes[lod], (lod, res)
+        assert float(jnp.min(w)) >= 0.0 and float(jnp.max(w)) <= 1.0
