@@ -137,6 +137,43 @@ def octree_resolutions(base_lod: int, num_lods: int) -> Tuple[int, ...]:
     return tuple(2 ** (base_lod + l) for l in range(num_lods))
 
 
+def _cell_and_frac(coords, res: int):
+    """Shared coordinate transform: cell position [N, dim] + frac [N, dim]."""
+    # Reference coordinate transform (cu:68-70).  NOTE: the reference's upper
+    # clamp bound ``res - 1 - 1e-5`` rounds to ``res - 1`` in float32 for
+    # res >~ 170, letting the +1 corner index reach ``res`` — an out-of-bounds
+    # read the CUDA kernel silently absorbs (reads the next LOD's memory).
+    # We clamp the cell to res-2 instead, which matches the float64 semantics
+    # of the formula (cell in [0, res-2], frac in [0, 1]).
+    x = jnp.clip(res * (coords.astype(jnp.float32) * 0.5 + 0.5), 0.0, res - 1 - 1e-5)
+    pos = jnp.minimum(jnp.floor(x), max(res - 2, 0))
+    frac = jnp.clip(x - pos, 0.0, 1.0)
+    return pos.astype(jnp.int32), frac
+
+
+def _corner_weights(frac, spec: HashGridSpec):
+    """Multilinear weights [N, 2**dim] in reference corner order (cu:77-84)."""
+    offs = jnp.asarray(spec.corner_offsets)          # [C, dim]
+    w = jnp.where(offs[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
+    return jnp.prod(w, axis=-1)                      # [N, C]
+
+
+def _direct_strides(res: int, dim: int) -> Tuple[int, ...]:
+    """Linear-index strides for a direct (dense) LOD: idx = Σ_d pos_d·res^d."""
+    return tuple(res ** d for d in range(dim))
+
+
+def _corner_shifts(res: int, spec: HashGridSpec) -> Tuple[int, ...]:
+    """Static linear-index offset of each corner for a direct LOD.
+
+    For dense tables, corner j of cell p lives at ``idx(p) + shift_j`` where
+    ``shift_j = Σ_d offs[j,d]·res^d`` — the basis of the brick-packed gather.
+    """
+    strides = _direct_strides(res, spec.dim)
+    return tuple(int(np.dot(spec.corner_offsets[j], strides))
+                 for j in range(2 ** spec.dim))
+
+
 def _lod_corner_indices_and_weights(coords, res: int, spec: HashGridSpec):
     """Per-LOD corner hash indices + multilinear weights.
 
@@ -148,16 +185,7 @@ def _lod_corner_indices_and_weights(coords, res: int, spec: HashGridSpec):
     """
     dim = spec.dim
     cs = spec.codebook_size
-    # Reference coordinate transform (cu:68-70).  NOTE: the reference's upper
-    # clamp bound ``res - 1 - 1e-5`` rounds to ``res - 1`` in float32 for
-    # res >~ 170, letting the +1 corner index reach ``res`` — an out-of-bounds
-    # read the CUDA kernel silently absorbs (reads the next LOD's memory).
-    # We clamp the cell to res-2 instead, which matches the float64 semantics
-    # of the formula (cell in [0, res-2], frac in [0, 1]).
-    x = jnp.clip(res * (coords.astype(jnp.float32) * 0.5 + 0.5), 0.0, res - 1 - 1e-5)
-    pos = jnp.minimum(jnp.floor(x), max(res - 2, 0))
-    frac = jnp.clip(x - pos, 0.0, 1.0)
-    pos = pos.astype(jnp.int32)
+    pos, frac = _cell_and_frac(coords, res)
 
     offs = jnp.asarray(spec.corner_offsets)          # [C, dim]
     cpos = pos[:, None, :] + offs[None, :, :]        # [N, C, dim]
@@ -179,6 +207,47 @@ def _lod_corner_indices_and_weights(coords, res: int, spec: HashGridSpec):
     return idx, w
 
 
+# Brick-packed gather for direct (dense) LODs: gather cost on TPU is per-ROW
+# and flat in row width up to 128 lanes (measured ~6-10 ns/row on v5e), so
+# packing all 2**dim corner rows of a cell into ONE wide row turns 2**dim
+# gathers/sample into one.  The per-corner tables are shifted copies of the
+# dense table (corner j of cell p lives at linear index idx(p) + shift_j),
+# i.e. pure HBM-bandwidth copies — no gather — rebuilt per step.
+BRICK_GATHER = True
+_BRICK_MAX_LANES = 128
+
+
+def _brick_applicable(res: int, width: int, spec: HashGridSpec) -> bool:
+    return (BRICK_GATHER and res >= 2
+            and use_direct_index(res, spec.codebook_size, spec.dim)
+            and (2 ** spec.dim) * width <= _BRICK_MAX_LANES)
+
+
+def _brick_gather(table, coords, res: int, spec: HashGridSpec):
+    """One-row-per-sample corner gather for a direct LOD.
+
+    Args:
+        table: [size, W] dense LOD table (size == res**dim).
+    Returns:
+        gathered [N, C, W] float32, idx [N, C] int32 (per-corner, for the
+        backward scatter), w [N, C] float32.
+    """
+    pos, frac = _cell_and_frac(coords, res)
+    w = _corner_weights(frac, spec)
+    strides = jnp.asarray(_direct_strides(res, spec.dim), jnp.int32)
+    idx000 = jnp.sum(pos * strides[None, :], axis=-1)          # [N]
+    shifts = _corner_shifts(res, spec)
+    size, width = table.shape
+    pad = jnp.zeros((max(shifts), width), table.dtype)
+    padded = jnp.concatenate([table, pad], axis=0)
+    brick = jnp.concatenate([padded[s:s + size] for s in shifts], axis=1)
+    n = idx000.shape[0]
+    gathered = jnp.take(brick, idx000, axis=0).astype(jnp.float32)
+    gathered = gathered.reshape(n, len(shifts), width)          # [N, C, W]
+    idx = idx000[:, None] + jnp.asarray(shifts, jnp.int32)[None, :]
+    return gathered, idx, w
+
+
 def _encode_fwd_impl(coords, codebook, spec: HashGridSpec):
     """Forward interpolation for every LOD. Returns feats [N, L, F] and residuals."""
     feats = []
@@ -188,8 +257,11 @@ def _encode_fwd_impl(coords, codebook, spec: HashGridSpec):
         first = spec.lod_first_idx[lod]
         size = spec.lod_sizes[lod]
         table = jax.lax.dynamic_slice_in_dim(codebook, first, size, axis=0)
-        idx, w = _lod_corner_indices_and_weights(coords, res, spec)
-        gathered = jnp.take(table, idx, axis=0)       # [N, C, F]
+        if _brick_applicable(res, codebook.shape[-1], spec):
+            gathered, idx, w = _brick_gather(table, coords, res, spec)
+        else:
+            idx, w = _lod_corner_indices_and_weights(coords, res, spec)
+            gathered = jnp.take(table, idx, axis=0)   # [N, C, F]
         f = jnp.sum(gathered.astype(jnp.float32) * w[..., None], axis=1)  # [N, F]
         feats.append(f)
         all_idx.append(idx)
@@ -283,8 +355,11 @@ def _affine_fwd_impl(coords, z, scale, shift, spec):
         first = spec.lod_first_idx[lod]
         size = spec.lod_sizes[lod]
         table = jax.lax.dynamic_slice_in_dim(both, first, size, axis=0)
-        idx, w = _lod_corner_indices_and_weights(coords, res, spec)
-        gathered = jnp.take(table, idx, axis=0)            # [N, C, F+ld]
+        if _brick_applicable(res, both.shape[-1], spec):
+            gathered, idx, w = _brick_gather(table, coords, res, spec)
+        else:
+            idx, w = _lod_corner_indices_and_weights(coords, res, spec)
+            gathered = jnp.take(table, idx, axis=0)        # [N, C, F+ld]
         feats.append(jnp.sum(gathered[..., :-ld] * w[..., None], axis=1))
         z_gathered.append(gathered[..., -ld:])
         all_idx.append(idx)

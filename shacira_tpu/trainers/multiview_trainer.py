@@ -58,6 +58,15 @@ class MultiviewTrainerConfig:
     noise_freq: int = 1
     # pruning
     prune_every: int = 100          # iterations (-1 disables)
+    # adaptive sample budget: after each prune, shrink the tracer's
+    # compaction budget (max_samples) to ~headroom x the expected number of
+    # occupied samples, on a power-of-2 ladder.  Steps get proportionally
+    # cheaper as pruning empties the scene, at the cost of one recompile per
+    # ladder change (a few over a whole run).  TPU-native replacement for the
+    # reference's shrinking packed tensors (octree rebuild, nerf.py:150-185).
+    adaptive_budget: bool = False
+    budget_headroom: float = 1.5
+    min_budget: int = 16384
     # random LOD curriculum (ref multiview_trainer.py:91-99): sample a max
     # LOD per step from a geometric distribution and mask finer LODs
     random_lod: bool = False
@@ -116,11 +125,12 @@ class MultiviewTrainer:
             cfg.ldec_lr_warmup, 'linear', 0.1 * cfg.ldec_lr, cfg.ldec_lr)
 
         self.iteration = 0
+        self.active_tracer_cfg = tracer_cfg
         self._fns = {}
 
     # ------------------------------------------------------------------
     def _raw_step(self, use_sga: bool):
-        cfg, mcfg, tcfg = self.cfg, self.model_cfg, self.tracer_cfg
+        cfg, mcfg, tcfg = self.cfg, self.model_cfg, self.active_tracer_cfg
         gcfg = mcfg.grid
         wd = {'decoder': 0.0, 'grid': cfg.weight_decay,
               'latent_dec': cfg.weight_decay_decoder,
@@ -191,7 +201,7 @@ class MultiviewTrainer:
         return step
 
     def _get_chunk_fn(self, use_sga: bool):
-        key = ('chunk', use_sga)
+        key = ('chunk', use_sga, self.active_tracer_cfg.max_samples)
         if key in self._fns:
             return self._fns[key]
         step = self._raw_step(use_sga)
@@ -220,6 +230,27 @@ class MultiviewTrainer:
         return self._fns['prune']
 
     # ------------------------------------------------------------------
+    def _adapt_budget(self):
+        """Shrink the compaction budget to match post-prune occupancy."""
+        import dataclasses
+        base = self.tracer_cfg
+        if base.max_samples <= 0:
+            return
+        s = (base.num_steps if base.raymarch_type == 'ray'
+             else base.num_steps * base.max_intersections)
+        occ_frac = float(np.asarray(
+            jnp.mean(self.occ_state['occ'].astype(jnp.float32))[None])[0])
+        expected = occ_frac * self.num_rays * s
+        k = 1 << int(np.ceil(np.log2(
+            max(self.cfg.min_budget, self.cfg.budget_headroom * expected))))
+        k = min(k, base.max_samples)
+        if k != self.active_tracer_cfg.max_samples:
+            self.active_tracer_cfg = dataclasses.replace(base, max_samples=k)
+            # drop cached chunk fns for other budgets (they keyed on budget)
+            self._fns = {f: v for f, v in self._fns.items()
+                         if not (isinstance(f, tuple) and f[0] == 'chunk')
+                         or f[2] == k}
+
     def _presample(self, n: int):
         """Host-side ray batch presampling for one chunk (one view per step)."""
         d = self.dataset
@@ -300,6 +331,8 @@ class MultiviewTrainer:
                     and self.iteration % cfg.prune_every == 0):
                 self.rng, k = jax.random.split(self.rng)
                 self.occ_state = self._get_prune_fn()(self.params, self.occ_state, k)
+                if cfg.adaptive_budget:
+                    self._adapt_budget()
 
             if log_fn:
                 log_fn({'iteration': self.iteration,
@@ -344,14 +377,29 @@ class MultiviewTrainer:
         return out.reshape(d.h, d.w, 3)
 
     def evaluate(self, view_indices=None) -> Dict[str, float]:
-        """PSNR/SSIM over views (ref evaluate_metrics, :177-235)."""
+        """PSNR/SSIM(/LPIPS) over views (ref evaluate_metrics, :177-235).
+
+        LPIPS(VGG) is included when pretrained weights are available (see
+        shacira_tpu.ops.lpips — bring-your-own .npz in a zero-egress env).
+        """
+        import os
+        from shacira_tpu.ops import lpips as lpips_mod
         d = self.dataset
         if view_indices is None:
             view_indices = range(d.num_views)
-        psnrs, ssims = [], []
+        lpips_w = None
+        if os.environ.get(lpips_mod.ENV_VAR):
+            lpips_w = lpips_mod.load_lpips_weights()
+        psnrs, ssims, lpipses = [], [], []
         for v in view_indices:
             pred = self.render_view(v)
             gtv = d.rgb[v].reshape(d.h, d.w, 3)
             psnrs.append(float(float_psnr(jnp.asarray(pred), jnp.asarray(gtv))))
             ssims.append(float(ssim(pred, gtv)))
-        return {'psnr': float(np.mean(psnrs)), 'ssim': float(np.mean(ssims))}
+            if lpips_w is not None:
+                lpipses.append(lpips_mod.lpips(np.clip(pred, 0, 1), gtv,
+                                               weights=lpips_w))
+        out = {'psnr': float(np.mean(psnrs)), 'ssim': float(np.mean(ssims))}
+        if lpipses:
+            out['lpips'] = float(np.mean(lpipses))
+        return out

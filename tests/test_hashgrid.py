@@ -180,3 +180,63 @@ def test_no_oob_at_large_direct_resolutions():
         idx, w = _lod_corner_indices_and_weights(jnp.asarray(coords), res, spec)
         assert int(jnp.max(idx)) < spec.lod_sizes[lod], (lod, res)
         assert float(jnp.min(w)) >= 0.0 and float(jnp.max(w)) <= 1.0
+
+
+def test_brick_gather_matches_plain_path():
+    """Brick-packed dense-LOD gather must be bit-equivalent to the per-corner
+    path (it reads the same rows, packed into one wide row per cell)."""
+    from shacira_tpu.ops import hashgrid as hg
+    spec = HashGridSpec(geometric_resolutions(4, 300, 10), 12, 3)
+    assert any(hg.use_direct_index(r, spec.codebook_size, 3)
+               for r in spec.resolutions)
+    assert not all(hg.use_direct_index(r, spec.codebook_size, 3)
+                   for r in spec.resolutions)
+    rng = np.random.RandomState(3)
+    coords = jnp.asarray(np.concatenate([
+        rng.uniform(-1, 1, (257, 3)), np.full((3, 3), 1.0),
+        np.full((3, 3), -1.0)]).astype(np.float32))
+    cb = jnp.asarray(rng.randn(spec.total_size, 2).astype(np.float32))
+
+    def loss(c):
+        return jnp.sum(jnp.sin(hash_encode(coords, c, spec)))
+
+    assert hg.BRICK_GATHER
+    out_b = hash_encode(coords, cb, spec)
+    g_b = jax.grad(loss)(cb)
+    hg.BRICK_GATHER = False
+    try:
+        out_p = hash_encode(coords, cb, spec)
+        g_p = jax.grad(loss)(cb)
+    finally:
+        hg.BRICK_GATHER = True
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_p))
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_p),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_brick_gather_affine_matches_plain_path():
+    from shacira_tpu.ops import hashgrid as hg
+    from shacira_tpu.ops.hashgrid import hash_encode_affine
+    spec = HashGridSpec(geometric_resolutions(4, 120, 8), 11, 3)
+    rng = np.random.RandomState(4)
+    coords = jnp.asarray(rng.uniform(-1, 1, (200, 3)).astype(np.float32))
+    z = jnp.asarray(rng.randn(spec.total_size, 2).astype(np.float32))
+    scale = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+    shift = jnp.asarray(rng.randn(1, 4).astype(np.float32))
+
+    def loss(z_, s_, sh_):
+        return jnp.sum(jnp.cos(hash_encode_affine(coords, z_, s_, sh_, spec)))
+
+    out_b = hash_encode_affine(coords, z, scale, shift, spec)
+    gz_b, gs_b, gsh_b = jax.grad(loss, argnums=(0, 1, 2))(z, scale, shift)
+    hg.BRICK_GATHER = False
+    try:
+        out_p = hash_encode_affine(coords, z, scale, shift, spec)
+        gz_p, gs_p, gsh_p = jax.grad(loss, argnums=(0, 1, 2))(z, scale, shift)
+    finally:
+        hg.BRICK_GATHER = True
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_p),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in ((gz_b, gz_p), (gs_b, gs_p), (gsh_b, gsh_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

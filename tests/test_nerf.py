@@ -181,3 +181,52 @@ def test_nerf_converges_on_synthetic_scene():
     # pruning must have removed most empty space (sphere fills ~6% of cube)
     occ_frac = float(jnp.mean(trainer.occ_state['occ']))
     assert occ_frac < 0.9
+
+
+@pytest.mark.slow
+def test_adaptive_budget_shrinks_after_prune():
+    """adaptive_budget: post-prune occupancy collapse must shrink the
+    compaction budget (power-of-2 ladder) and keep training healthy."""
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+
+    data = synthetic_scene(num_views=8, res=24)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=4, min_grid_res=4, max_grid_res=32,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=9, init_grid='normal',
+        num_prob_layers=1, entropy_enabled=True,
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralRadianceFieldConfig(
+        grid=grid, hidden_dim=16, num_layers=1,
+        view_embedder='positional', view_multires=2, blas_level=4,
+        prune_min_density=1.0)
+    tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=64,
+                                    bg_color='white', max_samples=8192)
+    cfg = MultiviewTrainerConfig(epochs=20, prune_every=150, chunk_size=50,
+                                 use_sga=True, temperature=0.1,
+                                 entropy_reg=1e-4, entropy_reg_end=1e-4,
+                                 adaptive_budget=True, min_budget=512)
+    trainer = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=256, seed=0)
+    trainer.train(num_iterations=100)
+    assert trainer.active_tracer_cfg.max_samples == 8192
+
+    # collapse occupancy to the sphere's bounding region (as a long prune
+    # phase would) and adapt: the budget must shrink on the pow-2 ladder
+    res = mcfg.occ_cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.6 ** 2
+    trainer.occ_state = {**trainer.occ_state, 'occ': jnp.asarray(sphere)}
+    trainer._adapt_budget()
+    new_budget = trainer.active_tracer_cfg.max_samples
+    assert new_budget < 8192, new_budget
+    assert new_budget >= 512 and (new_budget & (new_budget - 1)) == 0
+    # training continues fine at the shrunk budget
+    out = trainer.train(num_iterations=100)
+    assert out['iterations'] == 200
+    m = trainer.evaluate(view_indices=[0])
+    assert np.isfinite(m['psnr']) and m['psnr'] > 10.0, m
