@@ -38,7 +38,9 @@ def main():
                                      view_embedder='positional',
                                      view_multires=4, blas_level=7)
     tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
-                                    bg_color='white', max_samples=262144)
+                                    bg_color='white', max_samples=262144,
+                                    segment_size=16, coarse_level=5,
+                                    seg_dilation=1)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  use_sga=True, temperature=1.0,
                                  entropy_reg=1e-4, entropy_reg_end=1e-4)
@@ -56,7 +58,8 @@ def main():
         'value': round(rays_s, 1),
         'unit': 'rays/s',
         'config': 'lego-shaped: 24 LODs bw19 F4, ray-march 2048 steps, '
-                  '4096 rays/iter, 262144-sample budget',
+                  '4096 rays/iter, 262144-sample budget, 16-sample '
+                  'segment culling',
     }))
 
 

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from shacira_tpu.core.rays import Rays
 from shacira_tpu.accel import occupancy as occ
@@ -38,6 +39,16 @@ class RFTracerConfig:
     bg_color: str = 'white'
     max_intersections: int = 64    # 'voxel' mode DDA budget
     max_samples: int = 0           # >0: compact to K occupied samples
+    # segmented 'ray' march: test SEGMENTS of consecutive samples against a
+    # dilated coarse occupancy grid first, and fine-query/evaluate only the
+    # samples of surviving segments.  Cuts the per-sample occupancy gathers
+    # (the march is gather-latency-bound like everything else on TPU) by the
+    # dead-segment fraction.  0 disables; requires max_samples > 0.
+    segment_size: int = 0          # samples per segment (must divide num_steps)
+    seg_budget: int = 0            # live-segment budget (0: 8*max_samples/G)
+    coarse_level: int = 5          # coarse grid res = 2**coarse_level
+    seg_dilation: int = 1          # coarse-cell dilation radius; must cover
+                                   # half a segment's length (asserted)
 
 
 def volume_integrate(color, density, deltas, depth, mask):
@@ -58,39 +69,141 @@ def volume_integrate(color, density, deltas, depth, mask):
     return rgb, alpha, depth_out
 
 
+def _stride_compact(flat_mask, budget: int):
+    """Budgeted stable compaction of a boolean mask.
+
+    When the budget overflows (e.g. before the first pruning pass fills the
+    occupancy grid), drop by stride so remaining entries stay uniformly
+    distributed instead of starving the tail.
+
+    Returns (src [budget] int32 source positions, valid [budget] bool).
+    """
+    n = flat_mask.shape[0]
+    total = jnp.sum(flat_mask)
+    stride = jnp.maximum(1, -(-total // budget))              # ceil div
+    pos = jnp.cumsum(flat_mask) - 1
+    keep = flat_mask & (pos % stride == 0)
+    # stable compaction: slot index via exclusive cumsum of the kept mask
+    slots = jnp.cumsum(keep) - 1
+    slots = jnp.where(keep, slots, budget)                    # dropped -> OOB
+    src = jnp.zeros((budget,), jnp.int32)
+    src = src.at[slots].set(jnp.arange(n, dtype=jnp.int32), mode='drop')
+    valid = jnp.arange(budget) < jnp.sum(keep)
+    return src, valid
+
+
+def _compact_eval_flat(field_fn, flat_samples, flat_dirs, flat_mask,
+                       flat_ids, out_size: int, max_samples: int):
+    """Evaluate field on up to K masked samples, scatter into a dense buffer.
+
+    flat_ids maps each input row to its slot in the [out_size] output;
+    returns color [out_size, 3], density [out_size] (zeros where unevaluated).
+    """
+    src_idx, k_valid = _stride_compact(flat_mask, max_samples)
+    k_color, k_density = field_fn(flat_samples[src_idx], flat_dirs[src_idx])
+    dst = jnp.where(k_valid, flat_ids[src_idx], out_size)
+    color = jnp.zeros((out_size, 3), k_color.dtype)
+    density = jnp.zeros((out_size,), k_density.dtype)
+    color = color.at[dst].set(k_color, mode='drop')
+    density = density.at[dst].set(k_density[..., 0], mode='drop')
+    return color, density
+
+
 def _compact_eval(field_fn, samples, dirs, mask, max_samples: int):
     """Evaluate field on up to K occupied samples, scatter back dense.
 
     samples [R,S,3], dirs [R,3].  Returns color [R,S,3], density [R,S].
     """
     R, S = mask.shape
-    flat_mask = mask.reshape(-1)
-    flat_samples = samples.reshape(-1, 3)
-    flat_dirs = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
-    # When the budget overflows (e.g. before the first pruning pass fills the
-    # occupancy grid), drop by stride so remaining samples stay uniformly
-    # distributed across rays instead of starving the tail rays.
-    total = jnp.sum(flat_mask)
-    stride = jnp.maximum(1, -(-total // max_samples))         # ceil div
-    pos = jnp.cumsum(flat_mask) - 1
-    keep = flat_mask & (pos % stride == 0)
-    # stable compaction: slot index via exclusive cumsum of the kept mask
-    slots = jnp.cumsum(keep) - 1
-    slots = jnp.where(keep, slots, max_samples)               # dropped -> OOB
-    flat_mask = keep
-    src_idx = jnp.zeros((max_samples,), jnp.int32)
-    src_idx = src_idx.at[slots].set(jnp.arange(R * S, dtype=jnp.int32),
-                                    mode='drop')
-    k_samples = flat_samples[src_idx]
-    k_dirs = flat_dirs[src_idx]
-    k_color, k_density = field_fn(k_samples, k_dirs)
-    k_valid = jnp.arange(max_samples) < jnp.sum(flat_mask)
-    color = jnp.zeros((R * S, 3), k_color.dtype)
-    density = jnp.zeros((R * S,), k_density.dtype)
-    color = color.at[jnp.where(k_valid, src_idx, R * S)].set(k_color, mode='drop')
-    density = density.at[jnp.where(k_valid, src_idx, R * S)].set(
-        k_density[..., 0], mode='drop')
+    color, density = _compact_eval_flat(
+        field_fn, samples.reshape(-1, 3),
+        jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3),
+        mask.reshape(-1), jnp.arange(R * S, dtype=jnp.int32), R * S,
+        max_samples)
     return color.reshape(R, S, 3), density.reshape(R, S)
+
+
+def _coarse_dilated_occupancy(occ_state, occ_cfg: occ.OccupancyGridConfig,
+                              coarse_level: int, dilation: int):
+    """OR-pool fine occupancy to 2**coarse_level per axis, dilate by
+    ``dilation`` coarse cells (3D max filter) so a single midpoint lookup
+    conservatively covers a whole neighborhood."""
+    rc = 2 ** coarse_level
+    f = occ_cfg.res // rc
+    o = occ_state['occ'].reshape(rc, f, rc, f, rc, f).any(axis=(1, 3, 5))
+    if dilation > 0:
+        k = 2 * dilation + 1
+        o = jax.lax.reduce_window(o.astype(jnp.uint8), np.uint8(0),
+                                  jax.lax.max, (k, k, k), (1, 1, 1), 'SAME')
+    return o.astype(bool)
+
+
+def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
+                         rays: Rays, rng):
+    """'ray' marching with segment-level coarse culling (see RFTracerConfig).
+
+    Sampling is identical to raymarch_ray (same jitter draw), so with
+    sufficient budgets the result matches the dense path exactly: only
+    samples whose density would be zero (fine-unoccupied) or whose segment's
+    dilated coarse cell is empty (implies fine-unoccupied) are skipped, and
+    skipped samples contribute zero optical thickness either way.
+    """
+    G = cfg.segment_size
+    S = cfg.num_steps
+    assert S % G == 0, (S, G)
+    ns = S // G
+    R = rays.origins.shape[0]
+
+    # same sampling as occ.raymarch_ray (octree_as.py:252-259)
+    base = jnp.linspace(0.0, 1.0, S)
+    jitter = jax.random.uniform(rng, (R, S)) / S
+    t = base[None, :] + jitter
+    dmin = jnp.broadcast_to(rays.dist_min, (R,))[:, None]
+    dmax = jnp.broadcast_to(rays.dist_max, (R,))[:, None]
+    depth = t * (dmax - dmin) + dmin                          # [R, S]
+    deltas = jnp.diff(depth, axis=-1, prepend=dmin)
+
+    # conservative cover check: the dilated coarse cell of the segment
+    # midpoint must cover every sample of the segment
+    cover = cfg.seg_dilation * (2.0 / 2 ** cfg.coarse_level)
+    if isinstance(rays.dist_min, (int, float)) and isinstance(
+            rays.dist_max, (int, float)):
+        seg_half = (rays.dist_max - rays.dist_min) * (G / 2 + 1) / S
+        assert seg_half <= cover, (
+            f'segment half-length {seg_half:.4f} exceeds coarse cover '
+            f'{cover:.4f}; raise seg_dilation or coarse_level')
+
+    coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, cfg.coarse_level,
+                                       cfg.seg_dilation)
+    dseg = depth.reshape(R, ns, G)
+    t_mid = 0.5 * (dseg[..., 0] + dseg[..., -1])              # [R, ns]
+    mid = rays.origins[:, None, :] + rays.dirs[:, None, :] * t_mid[..., None]
+    inside = jnp.all(jnp.abs(mid) <= 1.0 + cover, axis=-1)
+    rc = 2 ** cfg.coarse_level
+    ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * rc), 0, rc - 1).astype(jnp.int32)
+    mask_c = coarse[ci[..., 0], ci[..., 1], ci[..., 2]] & inside  # [R, ns]
+
+    # compact live segments to the segment budget
+    k_seg = cfg.seg_budget or max(1, 8 * cfg.max_samples // G)
+    src_seg, seg_valid = _stride_compact(mask_c.reshape(-1), k_seg)
+    r_id = src_seg // ns
+    depth_s = jnp.take(depth.reshape(R * ns, G), src_seg, axis=0)   # [K, G]
+    o_s = jnp.take(rays.origins, r_id, axis=0)
+    d_s = jnp.take(rays.dirs, r_id, axis=0)
+    samples_s = o_s[:, None, :] + d_s[:, None, :] * depth_s[..., None]
+    fine = occ.query(occ_state, occ_cfg, samples_s) & seg_valid[:, None]
+
+    flat_ids = (src_seg[:, None] * G
+                + jnp.arange(G, dtype=jnp.int32)[None, :]).reshape(-1)
+    color, density = _compact_eval_flat(
+        field_fn, samples_s.reshape(-1, 3),
+        jnp.broadcast_to(d_s[:, None, :], samples_s.shape).reshape(-1, 3),
+        fine.reshape(-1), flat_ids, R * S, cfg.max_samples)
+
+    mask_dense = jnp.repeat(mask_c, G, axis=-1)               # [R, S]
+    return {'samples': None, 'mask': mask_dense, 'depth': depth,
+            'deltas': deltas, 'color': color.reshape(R, S, 3),
+            'density': density.reshape(R, S)}
 
 
 def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
@@ -106,6 +219,18 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         dict with rgb [R,3], alpha [R,1], depth [R,1], hit [R] (RenderBuffer
         equivalent of the reference, packed_rf_tracer.py:170).
     """
+    if (cfg.raymarch_type == 'ray' and cfg.segment_size > 0
+            and cfg.max_samples > 0):
+        m = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays, rng)
+        color, density, mask = m['color'], m['density'], m['mask']
+        rgb, alpha, depth = volume_integrate(color, density, m['deltas'],
+                                             m['depth'], mask)
+        hit = alpha[..., 0] > 0.0
+        if cfg.bg_color == 'white':
+            rgb = (1.0 - alpha) + rgb
+        else:
+            rgb = alpha * rgb
+        return {'rgb': rgb, 'alpha': alpha, 'depth': depth, 'hit': hit}
     if cfg.raymarch_type == 'ray':
         m = occ.raymarch_ray(occ_state, occ_cfg, rays, cfg.num_steps, rng)
     elif cfg.raymarch_type == 'voxel':

@@ -230,3 +230,69 @@ def test_adaptive_budget_shrinks_after_prune():
     assert out['iterations'] == 200
     m = trainer.evaluate(view_indices=[0])
     assert np.isfinite(m['psnr']) and m['psnr'] > 10.0, m
+
+
+def test_segmented_trace_matches_dense():
+    """segment_size > 0: coarse segment culling + budgeted eval must render
+    exactly what the dense path renders when budgets are sufficient (skipped
+    samples have zero density either way)."""
+    cfg = occ.OccupancyGridConfig(level=5)
+    state = occ.occupancy_init(cfg)
+    res = cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.55 ** 2
+    state = {**state, 'occ': jnp.asarray(sphere)}
+
+    def field_fn(coords, dirs):
+        d = jnp.sum(coords ** 2, -1, keepdims=True)
+        color = 0.5 + 0.4 * jnp.sin(3.0 * coords + dirs)
+        return color, 4.0 * jnp.exp(-2.0 * d)
+
+    R, S = 64, 256
+    rng_rays = np.random.RandomState(0)
+    o = np.asarray([[2.0, 0.3, 0.1]], np.float32) + np.zeros((R, 3), np.float32)
+    to_pts = rng_rays.uniform(-0.8, 0.8, (R, 3)).astype(np.float32)
+    d = to_pts - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(o, d, 0.0, 4.0)
+    key = jax.random.PRNGKey(7)
+
+    dense_cfg = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=S, bg_color='white',
+        max_samples=R * S)  # budget = everything
+    seg_cfg = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=S, bg_color='white',
+        max_samples=R * S, segment_size=8, seg_budget=R * S // 8,
+        coarse_level=4, seg_dilation=2)
+    out_d = rf_tracer.trace(field_fn, state, cfg, dense_cfg, rays, key)
+    out_s = rf_tracer.trace(field_fn, state, cfg, seg_cfg, rays, key)
+    np.testing.assert_allclose(np.asarray(out_s['rgb']),
+                               np.asarray(out_d['rgb']), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s['alpha']),
+                               np.asarray(out_d['alpha']), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s['depth']),
+                               np.asarray(out_d['depth']), rtol=1e-4, atol=1e-5)
+
+
+def test_segmented_trace_budget_truncation_is_graceful():
+    """Over-budget segmented tracing must stay finite and reasonable."""
+    cfg = occ.OccupancyGridConfig(level=4)
+    state = occ.occupancy_init(cfg)   # fully occupied: worst case
+
+    def field_fn(coords, dirs):
+        return jnp.full(coords.shape[:-1] + (3,), 0.5), \
+            jnp.ones(coords.shape[:-1] + (1,))
+
+    R, S = 32, 128
+    o = np.zeros((R, 3), np.float32); o[:, 0] = 2.5
+    d = np.zeros((R, 3), np.float32); d[:, 0] = -1.0
+    rays = make_rays(o, d, 0.0, 5.0)
+    seg_cfg = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=S, bg_color='white',
+        max_samples=256, segment_size=8, seg_budget=64,
+        coarse_level=4, seg_dilation=2)
+    out = rf_tracer.trace(field_fn, state, cfg, seg_cfg, rays,
+                          jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out['rgb'])).all()
+    assert float(jnp.max(out['alpha'])) <= 1.0 + 1e-5
