@@ -115,6 +115,9 @@ def build_image_parser() -> argparse.ArgumentParser:
     g.add_argument('--chunk-size', type=int, default=500)
     g.add_argument('--profile', action='store_true')
     g.add_argument('--seed', type=int, default=0)
+    # sampled-mode dataset resampling (main_image.py:148-151)
+    g.add_argument('--resample', type=_bool, default=False)
+    g.add_argument('--resample-every', type=int, default=1)
     return parser
 
 
@@ -128,6 +131,11 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument('--bg-color', type=str, default='white')
     g.add_argument('--max-intersections', type=int, default=64)
     g.add_argument('--max-samples', type=int, default=0)
+    # segmented 'ray' marching (TPU-native; RFTracerConfig)
+    g.add_argument('--segment-size', type=int, default=0)
+    g.add_argument('--seg-budget', type=int, default=0)
+    g.add_argument('--coarse-level', type=int, default=5)
+    g.add_argument('--seg-dilation', type=int, default=1)
 
     g = parser.add_argument_group('net')  # nerf nef extras
     g.add_argument('--view-embedder', type=str, default='positional')
@@ -135,6 +143,9 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
     g = parser.add_argument_group('dataset_nerf')
     g.add_argument('--multiview-dataset-format', type=str, default='standard')
+    # accepted for reference-YAML compatibility; unused (no torch DataLoader
+    # here — batches are presampled host-side into scan inputs)
+    g.add_argument('--dataset-num-workers', type=int, default=-1)
     g.add_argument('--mip', type=int, default=0)
     g.add_argument('--num-rays-sampled-per-img', type=int, default=4096)
     g.add_argument('--dataset-split', type=str, default='train')
@@ -143,6 +154,10 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g = parser.add_argument_group('trainer_nerf')
     g.add_argument('--prune-every', type=int, default=-1)
     g.add_argument('--random-lod', type=_bool, default=False)
+    # adaptive post-prune compaction budget (TPU-native; MultiviewTrainer)
+    g.add_argument('--adaptive-budget', type=_bool, default=False)
+    g.add_argument('--budget-headroom', type=float, default=1.5)
+    g.add_argument('--min-budget', type=int, default=16384)
 
     g = parser.add_argument_group('renderer')
     g.add_argument('--render-batch', type=int, default=4096)
@@ -261,6 +276,7 @@ def build_image_trainer_config(args):
         norm=args.norm, norm_every=args.norm_every,
         entropy_reg=args.entropy_reg, entropy_reg_end=args.entropy_reg_end,
         entropy_reg_sched=args.entropy_reg_sched, noise_freq=args.noise_freq,
+        resample=args.resample, resample_every=args.resample_every,
         chunk_size=args.chunk_size, log_every=args.log_every,
         valid_every=args.valid_every)
 
@@ -303,8 +319,10 @@ def build_nerf_trainer_config(args):
         decay_period=args.decay_period, temperature=args.temperature,
         entropy_reg=args.entropy_reg, entropy_reg_end=args.entropy_reg_end,
         entropy_reg_sched=args.entropy_reg_sched, noise_freq=args.noise_freq,
-        prune_every=args.prune_every, chunk_size=args.chunk_size,
-        log_every=args.log_every)
+        prune_every=args.prune_every, random_lod=args.random_lod,
+        adaptive_budget=args.adaptive_budget,
+        budget_headroom=args.budget_headroom, min_budget=args.min_budget,
+        chunk_size=args.chunk_size, log_every=args.log_every)
 
 
 def build_tracer_config(args):
@@ -312,4 +330,6 @@ def build_tracer_config(args):
     return RFTracerConfig(
         raymarch_type=args.raymarch_type, num_steps=args.num_steps,
         bg_color=args.bg_color, max_intersections=args.max_intersections,
-        max_samples=args.max_samples)
+        max_samples=args.max_samples, segment_size=args.segment_size,
+        seg_budget=args.seg_budget, coarse_level=args.coarse_level,
+        seg_dilation=args.seg_dilation)

@@ -189,13 +189,11 @@ def _lod_corner_indices_and_weights(coords, res: int, spec: HashGridSpec):
 
     offs = jnp.asarray(spec.corner_offsets)          # [C, dim]
     cpos = pos[:, None, :] + offs[None, :, :]        # [N, C, dim]
-    # weight = prod_d (frac if corner bit else 1-frac)   (cu:77-84)
-    w = jnp.where(offs[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
-    w = jnp.prod(w, axis=-1)                          # [N, C]
+    w = _corner_weights(frac, spec)                  # [N, C]
 
     if use_direct_index(res, cs, dim):
         # index = x + y*res + z*res^2  (cu:30-32)
-        strides = jnp.asarray([res ** d for d in range(dim)], dtype=jnp.int32)
+        strides = jnp.asarray(_direct_strides(res, dim), dtype=jnp.int32)
         idx = jnp.sum(cpos * strides[None, None, :], axis=-1)
     else:
         u = cpos.astype(jnp.uint32)

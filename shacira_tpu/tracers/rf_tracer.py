@@ -48,7 +48,8 @@ class RFTracerConfig:
     seg_budget: int = 0            # live-segment budget (0: 8*max_samples/G)
     coarse_level: int = 5          # coarse grid res = 2**coarse_level
     seg_dilation: int = 1          # coarse-cell dilation radius; must cover
-                                   # half a segment's length (asserted)
+                                   # half a segment's length (check with
+                                   # validate_segment_cover)
 
 
 def volume_integrate(color, density, deltas, depth, mask):
@@ -123,12 +124,45 @@ def _compact_eval(field_fn, samples, dirs, mask, max_samples: int):
     return color.reshape(R, S, 3), density.reshape(R, S)
 
 
+def _coarse_res(cfg: RFTracerConfig, occ_cfg: occ.OccupancyGridConfig) -> int:
+    """Coarse grid resolution, clamped to the fine grid's (coarser grids
+    enlarge the cover radius, which stays conservative)."""
+    return min(2 ** cfg.coarse_level, occ_cfg.res)
+
+
+def segment_cover_radius(cfg: RFTracerConfig,
+                         occ_cfg: occ.OccupancyGridConfig) -> float:
+    """Spatial radius around a segment midpoint covered by its dilated
+    coarse cell."""
+    return cfg.seg_dilation * (2.0 / _coarse_res(cfg, occ_cfg))
+
+
+def validate_segment_cover(cfg: RFTracerConfig,
+                           occ_cfg: occ.OccupancyGridConfig,
+                           dist_min: float, dist_max: float):
+    """Raise unless the dilated coarse cell of a segment midpoint covers
+    every sample of the segment (the conservativeness precondition of
+    segmented marching).  Call with concrete ray distance bounds."""
+    if cfg.segment_size <= 0:
+        return
+    if cfg.num_steps % cfg.segment_size:
+        raise ValueError(
+            f'segment_size {cfg.segment_size} must divide num_steps '
+            f'{cfg.num_steps}')
+    seg_half = (float(dist_max) - float(dist_min)) * (
+        cfg.segment_size / 2 + 1) / cfg.num_steps
+    cover = segment_cover_radius(cfg, occ_cfg)
+    if seg_half > cover:
+        raise ValueError(
+            f'segment half-length {seg_half:.4f} exceeds coarse cover '
+            f'{cover:.4f}; raise seg_dilation or lower coarse_level')
+
+
 def _coarse_dilated_occupancy(occ_state, occ_cfg: occ.OccupancyGridConfig,
-                              coarse_level: int, dilation: int):
-    """OR-pool fine occupancy to 2**coarse_level per axis, dilate by
-    ``dilation`` coarse cells (3D max filter) so a single midpoint lookup
-    conservatively covers a whole neighborhood."""
-    rc = 2 ** coarse_level
+                              rc: int, dilation: int):
+    """OR-pool fine occupancy to rc cells per axis, dilate by ``dilation``
+    coarse cells (3D max filter) so a single midpoint lookup conservatively
+    covers a whole neighborhood."""
     f = occ_cfg.res // rc
     o = occ_state['occ'].reshape(rc, f, rc, f, rc, f).any(axis=(1, 3, 5))
     if dilation > 0:
@@ -163,23 +197,18 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
     depth = t * (dmax - dmin) + dmin                          # [R, S]
     deltas = jnp.diff(depth, axis=-1, prepend=dmin)
 
-    # conservative cover check: the dilated coarse cell of the segment
-    # midpoint must cover every sample of the segment
-    cover = cfg.seg_dilation * (2.0 / 2 ** cfg.coarse_level)
-    if isinstance(rays.dist_min, (int, float)) and isinstance(
-            rays.dist_max, (int, float)):
-        seg_half = (rays.dist_max - rays.dist_min) * (G / 2 + 1) / S
-        assert seg_half <= cover, (
-            f'segment half-length {seg_half:.4f} exceeds coarse cover '
-            f'{cover:.4f}; raise seg_dilation or coarse_level')
-
-    coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, cfg.coarse_level,
+    # NOTE: conservativeness (dilated coarse cell of the midpoint covers the
+    # whole segment) cannot be checked here — dist bounds are traced.
+    # MultiviewTrainer validates at construction; direct users should call
+    # validate_segment_cover() with their concrete distance bounds.
+    cover = segment_cover_radius(cfg, occ_cfg)
+    rc = _coarse_res(cfg, occ_cfg)
+    coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, rc,
                                        cfg.seg_dilation)
     dseg = depth.reshape(R, ns, G)
     t_mid = 0.5 * (dseg[..., 0] + dseg[..., -1])              # [R, ns]
     mid = rays.origins[:, None, :] + rays.dirs[:, None, :] * t_mid[..., None]
     inside = jnp.all(jnp.abs(mid) <= 1.0 + cover, axis=-1)
-    rc = 2 ** cfg.coarse_level
     ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * rc), 0, rc - 1).astype(jnp.int32)
     mask_c = coarse[ci[..., 0], ci[..., 1], ci[..., 2]] & inside  # [R, ns]
 
@@ -223,33 +252,26 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
             and cfg.max_samples > 0):
         m = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays, rng)
         color, density, mask = m['color'], m['density'], m['mask']
-        rgb, alpha, depth = volume_integrate(color, density, m['deltas'],
-                                             m['depth'], mask)
-        hit = alpha[..., 0] > 0.0
-        if cfg.bg_color == 'white':
-            rgb = (1.0 - alpha) + rgb
+    else:
+        if cfg.raymarch_type == 'ray':
+            m = occ.raymarch_ray(occ_state, occ_cfg, rays, cfg.num_steps, rng)
+        elif cfg.raymarch_type == 'voxel':
+            m = occ.raymarch_voxel(occ_state, occ_cfg, rays, cfg.num_steps,
+                                   rng, cfg.max_intersections)
         else:
-            rgb = alpha * rgb
-        return {'rgb': rgb, 'alpha': alpha, 'depth': depth, 'hit': hit}
-    if cfg.raymarch_type == 'ray':
-        m = occ.raymarch_ray(occ_state, occ_cfg, rays, cfg.num_steps, rng)
-    elif cfg.raymarch_type == 'voxel':
-        m = occ.raymarch_voxel(occ_state, occ_cfg, rays, cfg.num_steps, rng,
-                               cfg.max_intersections)
-    else:
-        raise ValueError(cfg.raymarch_type)
+            raise ValueError(cfg.raymarch_type)
 
-    samples, mask = m['samples'], m['mask']
-    R, S = mask.shape
-    if cfg.max_samples and cfg.max_samples < R * S:
-        color, density = _compact_eval(field_fn, samples, rays.dirs, mask,
-                                       cfg.max_samples)
-    else:
-        dirs = jnp.broadcast_to(rays.dirs[:, None, :], samples.shape)
-        color, density = field_fn(samples, dirs)
-        density = density[..., 0]
-        color = jnp.where(mask[..., None], color, 0.0)
-        density = jnp.where(mask, density, 0.0)
+        samples, mask = m['samples'], m['mask']
+        R, S = mask.shape
+        if cfg.max_samples and cfg.max_samples < R * S:
+            color, density = _compact_eval(field_fn, samples, rays.dirs, mask,
+                                           cfg.max_samples)
+        else:
+            dirs = jnp.broadcast_to(rays.dirs[:, None, :], samples.shape)
+            color, density = field_fn(samples, dirs)
+            density = density[..., 0]
+            color = jnp.where(mask[..., None], color, 0.0)
+            density = jnp.where(mask, density, 0.0)
 
     rgb, alpha, depth = volume_integrate(color, density, m['deltas'],
                                          m['depth'], mask)

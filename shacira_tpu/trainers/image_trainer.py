@@ -360,11 +360,14 @@ class ImageTrainer:
         total = epochs * batches_per_epoch
         t0 = time.time()
         done = 0
+        self._resampled_epoch = getattr(self, '_resampled_epoch', 1)
         while done < total:
             e0 = self.epoch + 1
-            if (cfg.resample and e0 > 1 and hasattr(ds, 'resample')
+            if (cfg.resample and e0 > self._resampled_epoch
+                    and hasattr(ds, 'resample')
                     and (e0 - 1) % max(1, cfg.resample_every) == 0):
                 ds.resample()
+                self._resampled_epoch = e0
             use_sga = self._use_sga_at(e0)
             n = min(max(1, cfg.chunk_size), total - done)
             if use_sga:
@@ -379,7 +382,7 @@ class ImageTrainer:
             bc = np.empty((n, ds.num_samples, 2), np.float32)
             bg = np.empty((n, ds.num_samples, 3), np.float32)
             for i in range(n):
-                c, g = ds.batch(i % batches_per_epoch)
+                c, g = ds.batch((done + i) % batches_per_epoch)
                 if c.shape[0] < ds.num_samples:   # pad tail batches
                     pad = ds.num_samples - c.shape[0]
                     c = np.concatenate([c, c[:pad]])

@@ -127,6 +127,10 @@ class MultiviewTrainer:
         self.iteration = 0
         self.active_tracer_cfg = tracer_cfg
         self._fns = {}
+        if tracer_cfg.segment_size > 0:
+            rf_tracer.validate_segment_cover(
+                tracer_cfg, model_cfg.occ_cfg,
+                float(dataset.dist_min), float(dataset.dist_max))
 
     # ------------------------------------------------------------------
     def _raw_step(self, use_sga: bool):
@@ -230,17 +234,43 @@ class MultiviewTrainer:
         return self._fns['prune']
 
     # ------------------------------------------------------------------
+    def _occupied_sample_fraction(self) -> float:
+        """Measured fraction of march samples that land in occupied cells,
+        probed on a real presampled ray batch.  Camera rays concentrate on
+        the occupied region, so this can far exceed the volumetric occupancy
+        fraction — the volume estimate would under-budget and silently
+        stride-drop real samples."""
+        base = self.tracer_cfg
+        if 'probe' not in self._fns:
+            d = self.dataset
+
+            def probe(occ_state, ro, rd, k):
+                rays = make_rays(ro, rd, d.dist_min, d.dist_max)
+                m = occ.raymarch_ray(occ_state, self.model_cfg.occ_cfg, rays,
+                                     base.num_steps, k)
+                return jnp.mean(m['mask'].astype(jnp.float32))
+
+            self._fns['probe'] = jax.jit(probe)
+        ro, rd, _ = self._presample(1)
+        self.rng, k = jax.random.split(self.rng)
+        frac = self._fns['probe'](self.occ_state, jnp.asarray(ro[0]),
+                                  jnp.asarray(rd[0]), k)
+        return float(np.asarray(frac[None])[0])
+
     def _adapt_budget(self):
         """Shrink the compaction budget to match post-prune occupancy."""
         import dataclasses
         base = self.tracer_cfg
         if base.max_samples <= 0:
             return
-        s = (base.num_steps if base.raymarch_type == 'ray'
-             else base.num_steps * base.max_intersections)
-        occ_frac = float(np.asarray(
-            jnp.mean(self.occ_state['occ'].astype(jnp.float32))[None])[0])
-        expected = occ_frac * self.num_rays * s
+        if base.raymarch_type == 'ray':
+            expected = (self._occupied_sample_fraction()
+                        * self.num_rays * base.num_steps)
+        else:
+            occ_frac = float(np.asarray(
+                jnp.mean(self.occ_state['occ'].astype(jnp.float32))[None])[0])
+            expected = (occ_frac * self.num_rays * base.num_steps
+                        * base.max_intersections)
         k = 1 << int(np.ceil(np.log2(
             max(self.cfg.min_budget, self.cfg.budget_headroom * expected))))
         k = min(k, base.max_samples)
@@ -335,13 +365,16 @@ class MultiviewTrainer:
                     self._adapt_budget()
 
             if log_fn:
-                log_fn({'iteration': self.iteration,
-                        'epoch': self._epoch_of(self.iteration),
-                        'rgb_loss': float(np.asarray(metrics['rgb_loss'][-1:])[0]),
-                        'psnr': float(np.asarray(metrics['psnr'][-1:])[0]),
-                        'occupancy': float(np.asarray(
-                            jnp.mean(self.occ_state['occ'])[None])[0]),
-                        'elapsed': time.time() - t0})
+                entry = {'iteration': self.iteration,
+                         'epoch': self._epoch_of(self.iteration),
+                         'rgb_loss': float(np.asarray(metrics['rgb_loss'][-1:])[0]),
+                         'psnr': float(np.asarray(metrics['psnr'][-1:])[0]),
+                         'occupancy': float(np.asarray(
+                             jnp.mean(self.occ_state['occ'])[None])[0]),
+                         'elapsed': time.time() - t0}
+                if cfg.adaptive_budget and self.tracer_cfg.max_samples > 0:
+                    entry['sample_budget'] = self.active_tracer_cfg.max_samples
+                log_fn(entry)
         return {'iterations': self.iteration,
                 'elapsed': time.time() - t0}
 

@@ -114,3 +114,42 @@ def test_sampled_woreplace_training():
     trainer = ImageTrainer(cfg, make_model_cfg(compressed=False), ds, seed=0)
     out = trainer.train()
     assert out['PSNR'] > 14, out
+
+
+def test_sampled_chunks_cover_whole_permutation():
+    """Regression: with chunk_size < batches-per-epoch, the chunked sampled
+    loop must still visit every batch of the epoch permutation (it used to
+    restart at batch 0 every chunk, never training the tail pixels)."""
+    img = tiny_image()
+    ds = ImageDataset(img, num_samples=96, sample_mode='woreplace')
+    batches = len(ds)
+    assert batches == 8   # 24*32/96
+    seen = []
+    orig = ds.batch
+    ds.batch = lambda i: (seen.append(i), orig(i))[1]
+    cfg = ImageTrainerConfig(epochs=2, log_every=-1, entropy_reg=0.0,
+                             chunk_size=3)
+    trainer = ImageTrainer(cfg, make_model_cfg(compressed=False), ds, seed=0)
+    trainer.train(finalize=False)
+    assert sorted(set(seen)) == list(range(batches)), sorted(set(seen))
+    # each batch index seen exactly once per epoch
+    assert len(seen) == 2 * batches
+    assert seen[:batches] != sorted(seen[:batches]) or True  # order free
+    for b in range(batches):
+        assert seen.count(b) == 2
+
+
+def test_resample_fires_once_per_epoch():
+    """Regression: resample must fire at epoch boundaries only, not once per
+    chunk (ref pre_epoch, image_trainer.py:119-121)."""
+    img = tiny_image()
+    ds = ImageDataset(img, num_samples=96, sample_mode='woreplace')
+    calls = []
+    orig = ds.resample
+    ds.resample = lambda: (calls.append(1), orig())[1]
+    cfg = ImageTrainerConfig(epochs=3, log_every=-1, entropy_reg=0.0,
+                             chunk_size=3, resample=True, resample_every=1)
+    trainer = ImageTrainer(cfg, make_model_cfg(compressed=False), ds, seed=0)
+    trainer.train(finalize=False)
+    # epochs 2 and 3 start -> exactly 2 resamples (never within a chunk run)
+    assert len(calls) == 2, len(calls)

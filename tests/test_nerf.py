@@ -214,12 +214,14 @@ def test_adaptive_budget_shrinks_after_prune():
     trainer.train(num_iterations=100)
     assert trainer.active_tracer_cfg.max_samples == 8192
 
-    # collapse occupancy to the sphere's bounding region (as a long prune
-    # phase would) and adapt: the budget must shrink on the pow-2 ladder
+    # collapse occupancy to a small region (as a long prune phase would)
+    # and adapt: the budget must shrink on the pow-2 ladder.  The estimator
+    # probes real rays, so the fraction is the along-ray occupied fraction
+    # (not the volumetric one).
     res = mcfg.occ_cfg.res
     g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
     xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
-    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.6 ** 2
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.25 ** 2
     trainer.occ_state = {**trainer.occ_state, 'occ': jnp.asarray(sphere)}
     trainer._adapt_budget()
     new_budget = trainer.active_tracer_cfg.max_samples
@@ -296,3 +298,41 @@ def test_segmented_trace_budget_truncation_is_graceful():
                           jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(out['rgb'])).all()
     assert float(jnp.max(out['alpha'])) <= 1.0 + 1e-5
+
+
+def test_validate_segment_cover_raises_on_undersized_dilation():
+    ocfg = occ.OccupancyGridConfig(level=7)
+    bad = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
+                                   max_samples=1024, segment_size=32,
+                                   coarse_level=6, seg_dilation=1)
+    with pytest.raises(ValueError, match='coarse cover'):
+        rf_tracer.validate_segment_cover(bad, ocfg, 0.0, 5.0)
+    good = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
+                                    max_samples=1024, segment_size=16,
+                                    coarse_level=5, seg_dilation=1)
+    rf_tracer.validate_segment_cover(good, ocfg, 0.0, 5.0)
+    odd = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=100,
+                                   max_samples=1024, segment_size=16)
+    with pytest.raises(ValueError, match='divide'):
+        rf_tracer.validate_segment_cover(odd, ocfg, 0.0, 5.0)
+
+
+def test_segmented_trace_clamps_coarse_level_to_occ_level():
+    """coarse_level above the occupancy level must clamp, not crash."""
+    cfg = occ.OccupancyGridConfig(level=4)      # res 16 < 2**coarse_level
+    state = occ.occupancy_init(cfg)
+
+    def field_fn(coords, dirs):
+        return jnp.full(coords.shape[:-1] + (3,), 0.4), \
+            jnp.ones(coords.shape[:-1] + (1,))
+
+    R, S = 8, 64
+    o = np.zeros((R, 3), np.float32); o[:, 2] = -2.5
+    d = np.zeros((R, 3), np.float32); d[:, 2] = 1.0
+    rays = make_rays(o, d, 0.0, 5.0)
+    seg_cfg = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=S, max_samples=256,
+        segment_size=8, coarse_level=6, seg_dilation=1)
+    out = rf_tracer.trace(field_fn, state, cfg, seg_cfg, rays,
+                          jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out['rgb'])).all()
