@@ -134,6 +134,60 @@ class SDFTrainer:
                         'elapsed': time.time() - t0})
         return {'iterations': self.iteration}
 
+    def render(self, camera_origin=(-1.8, 1.2, -1.8), res=(256, 256),
+               shading: str = 'normal', matcap=None,
+               point_light=(1.5, 4.0, 1.5), min_y: float = -1.0,
+               num_steps: int = 128) -> np.ndarray:
+        """Sphere-trace a lookat view of the trained SDF.
+
+        shading: 'normal' (ref shade_normals), 'matcap' (needs a texture,
+        ref wisp/ops/shaders/matcap.py) or 'shadow' (ground plane +
+        point-light shadow rays, ref wisp/ops/shaders/shadow_rays.py).
+        Returns [H, W, 3] float32.
+        """
+        from shacira_tpu.core.rays import make_rays
+        from shacira_tpu.render import offline, shaders
+        from shacira_tpu.tracers import sdf_tracer
+        from shacira_tpu.accel import occupancy as occ
+
+        mcfg = self.model_cfg
+        h, w = res
+        cam = offline.CameraConfig(width=w, height=h)
+        ro, rd = offline.lookat_rays(camera_origin, (0.0, 0.0, 0.0), cam)
+        rays = make_rays(ro.reshape(-1, 3), rd.reshape(-1, 3),
+                         cam.dist_min, cam.dist_max)
+
+        ocfg = occ.OccupancyGridConfig(level=4)
+        ostate = occ.occupancy_init(ocfg, occupied=True)
+        tcfg = sdf_tracer.SDFTracerConfig(num_steps=num_steps)
+        params = self.params
+
+        @jax.jit
+        def run(p, rays_):
+            sdf_fn = lambda c: sdf_mod.neural_sdf(p, mcfg, c)
+            grad_fn = jax.vmap(jax.grad(
+                lambda c: sdf_mod.neural_sdf(p, mcfg, c[None])[0, 0]))
+            out = sdf_tracer.trace(sdf_fn, ostate, ocfg, tcfg, rays_)
+            return sdf_tracer.shade_normals(grad_fn, out)
+
+        rb = run(params, rays)
+        if shading == 'matcap':
+            if matcap is None:
+                raise ValueError('matcap shading needs a texture '
+                                 '(shaders.load_matcap)')
+            rb = shaders.matcap_shader(rb, rays, matcap)
+            rb['rgb'] = rb['rgb'] * rb['alpha']
+        elif shading == 'shadow':
+            def trace_hit_fn(sr):
+                sdf_fn = lambda c: sdf_mod.neural_sdf(params, mcfg, c)
+                return sdf_tracer.trace(sdf_fn, ostate, ocfg, tcfg, sr)['hit']
+
+            rb = shaders.shadow_shader(rb, rays, trace_hit_fn, point_light,
+                                       min_y=min_y, image_shape=(h, w))
+        elif shading != 'normal':
+            raise ValueError(shading)
+        return np.asarray(rb['rgb']).reshape(h, w, 3)
+
     def validate(self, num_batches: int = 4):
         """IoU validation over fresh pool batches (ref validate, :113-146)."""
         mcfg = self.model_cfg

@@ -131,3 +131,40 @@ def test_sdf_trainer_with_growth():
                     mcfg, ds, seed=0)
     tr.train(num_iterations=40)
     assert tr.iteration == 40
+
+
+def test_sdf_render_shading_modes():
+    """SDFTrainer.render: normal / matcap / shadow shading produce sane
+    images of a trained sphere (ref offline_renderer shading paths +
+    wisp/ops/shaders)."""
+    rng = np.random.RandomState(0)
+    surf = rng.randn(500, 3).astype(np.float32)
+    surf = 0.5 * surf / np.linalg.norm(surf, axis=-1, keepdims=True)
+    ds = sdf_ds.from_analytic(sphere_sdf, num_samples=8000, batch_size=2048,
+                              surface_pts=surf, seed=0)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=4, min_grid_res=4, max_grid_res=32,
+        latent_dim=0, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.01, codebook_bitwidth=8, init_grid='normal')
+    mcfg = NeuralSDFConfig(grid=grid, hidden_dim=32, num_layers=1,
+                           position_input=True)
+    trainer = SDFTrainer(SDFTrainerConfig(epochs=30, chunk_size=50),
+                         mcfg, ds, seed=0)
+    trainer.train(num_iterations=200)
+
+    img_n = trainer.render(res=(48, 48), shading='normal')
+    assert img_n.shape == (48, 48, 3) and np.isfinite(img_n).all()
+    # sphere silhouette: center hits (nonzero), corners background (zero)
+    assert img_n[24, 24].sum() > 0
+    assert img_n[0, 0].sum() == 0
+
+    tex = np.broadcast_to(np.asarray([0.2, 0.6, 0.9], np.float32),
+                          (8, 8, 3)).copy()
+    img_m = trainer.render(res=(48, 48), shading='matcap', matcap=tex)
+    assert np.isfinite(img_m).all()
+    np.testing.assert_allclose(img_m[24, 24], [0.2, 0.6, 0.9], atol=1e-4)
+
+    img_s = trainer.render(res=(48, 48), shading='shadow', min_y=-0.9)
+    assert np.isfinite(img_s).all()
+    # ground plane fills previously-background corners
+    assert img_s[0, 0].sum() > 0 or img_s[47, 47].sum() > 0
