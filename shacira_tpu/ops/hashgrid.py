@@ -349,6 +349,10 @@ def _affine_fwd_impl(coords, z, scale, shift, spec):
     ld = z.shape[-1]
     both = jnp.concatenate([decoded, z.astype(jnp.float32)], axis=-1)
     feats, z_gathered, all_idx, all_w = [], [], [], []
+    # NOTE: LODs gather with SEPARATE jnp.take calls on purpose — fusing the
+    # hashed LODs into one take of [N, K*C] global indices makes XLA pick a
+    # sublane-tiled layout for the [N, K, C, W] result with ~20x padding
+    # (observed 18 GB HBM for the lego shapes).
     for lod, res in enumerate(spec.resolutions):
         first = spec.lod_first_idx[lod]
         size = spec.lod_sizes[lod]
