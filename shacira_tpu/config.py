@@ -21,6 +21,11 @@ def build_image_parser() -> argparse.ArgumentParser:
     """Argument surface of the image app (main_image.py:34-265)."""
     parser = argparse.ArgumentParser(description='SHACIRA-TPU image INR training')
     parser.add_argument('--config', type=str, help='Path to YAML config')
+    parser.add_argument('--platform', type=str, default=None,
+                        choices=['cpu', 'tpu', 'axon'],
+                        help='Force a JAX platform (some environments '
+                             'register accelerators that ignore '
+                             'JAX_PLATFORMS; see apply_platform)')
 
     g = parser.add_argument_group('logging')
     g.add_argument('--exp-name', type=str, default='unnamed')
@@ -215,7 +220,20 @@ def parse_args(parser: argparse.ArgumentParser, argv=None) -> argparse.Namespace
     if args.config is not None:
         parse_yaml_config(args.config, parser)
         args = parser.parse_args(argv)
+    apply_platform(args)
     return args
+
+
+def apply_platform(args) -> None:
+    """Honor ``--platform`` before any jax array is created.
+
+    ``jax.config.update`` is required (not the JAX_PLATFORMS env var): some
+    environments force-register remote accelerator plugins that ignore the
+    env var.
+    """
+    if getattr(args, 'platform', None):
+        import jax
+        jax.config.update('jax_platforms', args.platform)
 
 
 # ---------------------------------------------------------------------------
