@@ -1,0 +1,186 @@
+"""Component-level timing breakdown of the lego-config NeRF train step.
+
+Answers VERDICT r1 item 1: where do the 0.52 s go?  Times each stage of the
+step in isolation on the available accelerator and prints a JSON report:
+
+  * full training step (chunked, as benched)        -- the headline
+  * loss fwd-only vs fwd+bwd (isolates backward)
+  * hash-encode fwd / fwd+bwd at the sample budget  (the gather/scatter walls)
+  * one-hot scatter micro at one hashed-LOD's shapes
+  * march + compaction + integration with a trivial field (non-encode cost)
+  * pruned-scene sustained rate with adaptive budget (the workload the
+    reference actually runs: nerf_lego.yaml prunes every 100 iters)
+
+Usage: python bench_breakdown.py [--trace DIR]   (--trace captures xprof)
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def sync(x):
+    """Axon-relay-safe device sync (block_until_ready doesn't block there)."""
+    import jax
+    leaf = [l for l in jax.tree.leaves(x) if hasattr(l, 'shape')][0]
+    np.asarray(leaf.reshape(-1)[0:1])
+
+
+def timeit(f, *args, iters=10, warmup=2):
+    out = None
+    for _ in range(warmup):
+        out = f(*args)
+    sync(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = f(*args)
+    sync(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, 'tests')
+    from test_nerf import synthetic_scene
+    from shacira_tpu.ops.hashgrid import (
+        make_spec, geometric_resolutions, hash_encode_affine)
+    from shacira_tpu.ops.pallas_scatter import onehot_scatter_add
+    from shacira_tpu.ops import hashgrid as hg
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.tracers import rf_tracer
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+
+    report = {'device': str(jax.devices()[0].platform)}
+    key = jax.random.PRNGKey(0)
+    N = 262144          # lego sample budget
+    LD, F = 1, 4        # latent_dim, feature_dim
+
+    # --- encode micro-benchmarks (lego spec) ------------------------------
+    res = geometric_resolutions(16, 512, 24)
+    spec = make_spec(res, 19, 3)
+    n_hashed = sum(0 if hg.use_direct_index(r, spec.codebook_size, 3) else 1
+                   for r in res)
+    report['lego_spec'] = {'num_lods': 24, 'hashed_lods': n_hashed,
+                           'total_entries': spec.total_size, 'budget': N}
+    coords = jax.random.uniform(key, (N, 3), minval=-1.0, maxval=1.0)
+    z = jax.random.normal(key, (spec.total_size, LD))
+    scale = jax.random.normal(key, (LD, F))
+    shift = jnp.zeros((1, F))
+
+    enc = jax.jit(lambda c, zz, s, sh: hash_encode_affine(c, zz, s, sh, spec))
+    report['encode_fwd_ms'] = timeit(enc, coords, z, scale, shift) * 1e3
+
+    def enc_loss(zz, s, sh, c):
+        return jnp.sum(hash_encode_affine(c, zz, s, sh, spec))
+    enc_vg = jax.jit(jax.value_and_grad(enc_loss, argnums=(0, 1, 2)))
+    report['encode_fwd_bwd_ms'] = timeit(enc_vg, z, scale, shift, coords) * 1e3
+
+    # one hashed LOD's backward scatter: 8 corner rows per sample, T = 2^19
+    T = spec.codebook_size
+    idx = jax.random.randint(key, (N * 8,), 0, T)
+    vals = jax.random.normal(key, (N * 8, LD))
+    sc = jax.jit(lambda i, v: onehot_scatter_add(i, v, T))
+    one = timeit(sc, idx, vals) * 1e3
+    report['scatter_one_hashed_lod_ms'] = one
+    report['scatter_all_hashed_lods_est_ms'] = one * n_hashed
+
+    # --- full-step benchmarks on the synthetic scene ----------------------
+    data = synthetic_scene(num_views=20, res=64)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=F, num_lods=24, min_grid_res=16, max_grid_res=512,
+        latent_dim=LD, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=19, init_grid='normal',
+        num_prob_layers=1, entropy_enabled=True,
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=128, num_layers=1,
+                                     view_embedder='positional',
+                                     view_multires=4, blas_level=7)
+    tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
+                                    bg_color='white', max_samples=N,
+                                    segment_size=16, coarse_level=5,
+                                    seg_dilation=1)
+    cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
+                                 use_sga=True, temperature=1.0,
+                                 entropy_reg=1e-4, entropy_reg_end=1e-4)
+    tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)
+    tr.train(num_iterations=10)                          # compile + warmup
+    sync(tr.params)
+    t0 = time.time()
+    tr.train(num_iterations=30)
+    sync(tr.params)
+    step_s = (time.time() - t0) / 30
+    report['full_step_ms'] = step_s * 1e3
+    report['rays_per_s'] = 4096 / step_s
+
+    # march/compact/integrate with a trivial field (no encode, tiny MLP):
+    from shacira_tpu.core.rays import make_rays
+    ro = jnp.asarray(data.rays_o[0, :4096])
+    rd = jnp.asarray(data.rays_d[0, :4096])
+    rays = make_rays(ro, rd, data.dist_min, data.dist_max)
+
+    def trivial_field(c, d):
+        s = jnp.sum(c * d, -1, keepdims=True)
+        return jnp.concatenate([s, s, s], -1), jax.nn.relu(s)
+
+    trace_fn = jax.jit(lambda occ_state, k: rf_tracer.trace(
+        trivial_field, occ_state, mcfg.occ_cfg, tcfg, rays, k))
+    report['march_integrate_trivial_ms'] = (
+        timeit(trace_fn, tr.occ_state, key) * 1e3)
+
+    # fwd-only loss (no grad) to isolate backward cost
+    from shacira_tpu.models.grids import latent_grid as lg
+    from shacira_tpu.models.nefs import nerf as nerf_mod
+    gt = jnp.asarray(data.rgb[0, :4096])
+
+    def loss_fn(p, occ_state, k):
+        parts = lg.affine_parts(p['grid'], grid, use_sga=True,
+                                temperature=1.0, rng=k)
+
+        def field_fn(c, d):
+            return nerf_mod.nerf_rgba(p, mcfg, c, d, affine=parts)
+
+        rb = rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg, tcfg, rays, k)
+        return jnp.mean(jnp.abs(rb['rgb'] - gt))
+
+    fwd = jax.jit(loss_fn)
+    report['loss_fwd_only_ms'] = timeit(fwd, tr.params, tr.occ_state, key) * 1e3
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    report['loss_fwd_bwd_ms'] = timeit(vg, tr.params, tr.occ_state, key) * 1e3
+
+    # --- pruned sustained rate (the real workload: nerf_lego prunes /100) --
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, prune_every=100, adaptive_budget=True,
+                               budget_headroom=1.5, min_budget=16384)
+    tr2 = MultiviewTrainer(cfg2, mcfg, tcfg, data, num_rays=4096, seed=0)
+    tr2.train(num_iterations=300)                        # reach pruned state
+    sync(tr2.params)
+    t0 = time.time()
+    tr2.train(num_iterations=50)
+    sync(tr2.params)
+    pruned_s = (time.time() - t0) / 50
+    report['pruned_step_ms'] = pruned_s * 1e3
+    report['pruned_rays_per_s'] = 4096 / pruned_s
+    report['pruned_sample_budget'] = tr2.active_tracer_cfg.max_samples
+    report['pruned_occupancy'] = float(np.asarray(
+        jnp.mean(tr2.occ_state['occ'].astype(jnp.float32))[None])[0])
+
+    if '--trace' in sys.argv:
+        tdir = sys.argv[sys.argv.index('--trace') + 1]
+        try:
+            with jax.profiler.trace(tdir):
+                tr.train(num_iterations=3)
+                sync(tr.params)
+            report['trace_dir'] = tdir
+        except Exception as e:                            # relay may not support
+            report['trace_error'] = repr(e)
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == '__main__':
+    main()

@@ -33,10 +33,14 @@ class RenderBuffer:
     def alpha(self):
         return self.channels.get('alpha')
 
-    def blend(self, other: 'RenderBuffer') -> 'RenderBuffer':
-        """Alpha-composite self over other (ref channel blend kit,
-        render_core.py:317-354: alpha-over for rgb, logical-or for hit)."""
-        a = self.alpha
+    def blend(self, other: 'RenderBuffer', kit=None) -> 'RenderBuffer':
+        """Composite self (front) over other (back) using the per-channel
+        blend kit (ref render_buffer.py blend + channels_starter_kit;
+        render_core.py:317-354): alpha-over for rgb, slerp for normals,
+        logical-or for hit, front-wins for depth, linear for alpha."""
+        from shacira_tpu.core import channel_fn as cf
+        kit = kit if kit is not None else cf.channels_starter_kit()
+        a1, a2 = self.alpha, other.alpha
         out = {}
         keys = set(self.channels) | set(other.channels)
         for k in keys:
@@ -46,12 +50,19 @@ class RenderBuffer:
                 out[k] = y
             elif y is None:
                 out[k] = x
-            elif k == 'hit':
-                out[k] = x | y
-            elif k == 'alpha':
-                out[k] = x + (1 - x) * y
             else:
-                out[k] = x * a + y * (1 - a)
+                ch = kit.get(k, cf.create_default_channel())
+                out[k] = ch.blend_fn(x, y, a1, a2)
+        return RenderBuffer(out)
+
+    def normalized(self, kit=None) -> 'RenderBuffer':
+        """Map every channel to displayable [0, 1] via its normalize fn."""
+        from shacira_tpu.core import channel_fn as cf
+        kit = kit if kit is not None else cf.channels_starter_kit()
+        out = {}
+        for k, v in self.channels.items():
+            ch = kit.get(k, cf.create_default_channel())
+            out[k] = ch.normalize_fn(v)
         return RenderBuffer(out)
 
     @staticmethod
@@ -73,3 +84,43 @@ class RenderBuffer:
 
     def image(self, h: int, w: int) -> np.ndarray:
         return np.asarray(self.rgb).reshape(h, w, 3)
+
+    def exr_dict(self, h: int, w: int) -> Dict[str, np.ndarray]:
+        """Float32 channel dict for EXR export (ref render_buffer.exr_dict):
+        rgb stays 3-channel, everything else flattens to per-pixel planes."""
+        out = {}
+        for k, v in self.channels.items():
+            arr = np.asarray(v, np.float32)
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            out[k] = arr.reshape(h, w, arr.shape[-1])
+        return out
+
+    def save_exr(self, path: str, h: int, w: int) -> bool:
+        """Write an EXR (OpenEXR if available, else .npz fallback);
+        returns True when a real EXR was written."""
+        data = self.exr_dict(h, w)
+        try:
+            import OpenEXR
+            import Imath
+            half = Imath.Channel(Imath.PixelType(Imath.PixelType.FLOAT))
+            names, planes = [], []
+            for k, v in data.items():
+                if v.shape[-1] == 3:
+                    for i, suffix in enumerate('RGB'):
+                        names.append(f'{k}.{suffix}' if k != 'rgb' else suffix)
+                        planes.append(v[..., i])
+                else:
+                    for i in range(v.shape[-1]):
+                        names.append(k if v.shape[-1] == 1 else f'{k}.{i}')
+                        planes.append(v[..., i])
+            header = OpenEXR.Header(w, h)
+            header['channels'] = {n: half for n in names}
+            exr = OpenEXR.OutputFile(path, header)
+            exr.writePixels({n: p.astype(np.float32).tobytes()
+                             for n, p in zip(names, planes)})
+            exr.close()
+            return True
+        except ImportError:
+            np.savez(path + '.npz', **{k: v for k, v in data.items()})
+            return False

@@ -273,6 +273,14 @@ def grid_size_bits(params, cfg: LatentGridConfig, *, use_codec: bool = False,
     entropy of the rounded codebook, from the histogram (or prob model CDF),
     either as the information-theoretic estimate or a real arithmetic-coded
     stream length.  Host-side.
+
+    NOTE on ``use_prob_model and use_codec``: the reference *computes* the
+    model CDF in that combination but then overwrites it with the empirical
+    histogram CDF before calling torchac (latent_grid.py:156-167), so its
+    coded stream never uses the prob model.  We implement the documented
+    intent instead and code with the model CDF (the paper's decoder only has
+    the prob model available — a histogram stream would not be decodable
+    without also transmitting the histogram).
     """
     if cfg.ldec is None:
         # Uncompressed HashGrid: raw fp bits (hash_grid.py:101-102 in ref).
@@ -295,15 +303,61 @@ def grid_size_bits(params, cfg: LatentGridConfig, *, use_codec: bool = False,
             probs = np.asarray(
                 bit_estimator_apply(pm, cfg.prob_cfg, jnp.asarray(uniq + 0.5, jnp.float32), single_channel=c)
                 - bit_estimator_apply(pm, cfg.prob_cfg, jnp.asarray(uniq - 0.5, jnp.float32), single_channel=c))
-            if not use_codec:
+            if use_codec:
+                codebook_bits += coding.coded_size_bits(w, probs=probs)
+            else:
                 info = np.clip(-np.log(probs + 1e-10) / np.log(2.0), 0, 1000)
                 codebook_bits += float(np.sum(info * counts))
-                continue
-        if use_codec:
+        elif use_codec:
             codebook_bits += coding.coded_size_bits(w)
         else:
             codebook_bits += coding.entropy_bits_histogram(w)
     return ldec_bits, codebook_bits
+
+
+def encode_grid_stream(params, cfg: LatentGridConfig, *,
+                       use_prob_model: bool = False) -> dict:
+    """Serialize the rounded latent codebook to real arithmetic codestreams.
+
+    Goes beyond the reference (which only measures ``len(byte_stream)`` and
+    never decodes, latent_grid.py:168-172): returns everything needed to
+    rebuild the quantized grid, so the reported size provably corresponds to
+    a decodable model.  Per channel: symbols ``round(cb[:,c]) - min`` coded
+    over their dense alphabet with the histogram CDF (or the BitEstimator
+    model CDF when ``use_prob_model``).
+    """
+    cb = np.asarray(params['codebook'])
+    channels = []
+    for c in range(cb.shape[1]):
+        w = np.round(cb[:, c]).astype(np.int64)
+        uniq, inv = np.unique(w, return_inverse=True)
+        if use_prob_model:
+            pm = params['prob_model']
+            probs = np.asarray(
+                bit_estimator_apply(pm, cfg.prob_cfg,
+                                    jnp.asarray(uniq + 0.5, jnp.float32),
+                                    single_channel=c)
+                - bit_estimator_apply(pm, cfg.prob_cfg,
+                                      jnp.asarray(uniq - 0.5, jnp.float32),
+                                      single_channel=c))
+            probs = np.maximum(probs, 1e-10)
+            probs = probs / probs.sum()
+        else:
+            counts = np.bincount(inv)
+            probs = counts / counts.sum()
+        stream = coding.ArithmeticCoder.encode(inv, probs)
+        channels.append({'stream': stream, 'alphabet': uniq, 'probs': probs,
+                         'n': int(w.shape[0])})
+    return {'channels': channels, 'latent_dim': cb.shape[1]}
+
+
+def decode_grid_stream(blob: dict) -> np.ndarray:
+    """Inverse of :func:`encode_grid_stream`: rebuild ``round(codebook)``."""
+    cols = []
+    for ch in blob['channels']:
+        inv = coding.ArithmeticCoder.decode(ch['stream'], ch['probs'], ch['n'])
+        cols.append(ch['alphabet'][inv])
+    return np.stack(cols, axis=1).astype(np.float32)
 
 
 def rounding_loss(params) -> jax.Array:

@@ -59,12 +59,13 @@ def neural_image_rgb(params, cfg: NeuralImageConfig, coords, *,
                      use_sga: bool = False, temperature: float = 1.0,
                      rng: Optional[jax.Array] = None,
                      decoded: Optional[jax.Array] = None,
-                     static_plan=None, encoder=None, affine=None):
+                     static_plan=None, encoder=None, affine=None,
+                     lod_mask: Optional[jax.Array] = None):
     """coords [N, 2] in [-1, 1] -> rgb [N, 3] (reference rgb(), image.py:127-154)."""
     feats = lg.interpolate(params['grid'], cfg.grid, coords,
                            use_sga=use_sga, temperature=temperature, rng=rng,
                            decoded=decoded, static_plan=static_plan,
-                           encoder=encoder, affine=affine)
+                           encoder=encoder, affine=affine, lod_mask=lod_mask)
     if cfg.pos_embed_dim:
         if cfg.pos_embedder == 'positional':
             emb = positional_embed(

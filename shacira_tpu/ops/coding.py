@@ -203,16 +203,26 @@ class ArithmeticCoder:
         return out
 
 
-def coded_size_bits(values: np.ndarray) -> int:
+def coded_size_bits(values: np.ndarray, probs: np.ndarray = None) -> int:
     """Bits of a real arithmetic codestream of integer symbols.
 
     Mirrors the torchac path of LatentGrid.size (latent_grid.py:154-172):
-    symbols are shifted to a dense 0-based alphabet and coded with their
-    empirical histogram CDF.
+    symbols are shifted to a dense 0-based alphabet and coded — with their
+    empirical histogram CDF by default, or with caller-supplied per-alphabet
+    ``probs`` (e.g. a BitEstimator model CDF; the reference *builds* that CDF
+    when ``use_prob_model`` but then overwrites it with the histogram CDF at
+    latent_grid.py:165-167 — passing probs here implements the documented
+    intent).
     """
     values = np.asarray(values).reshape(-1).astype(np.int64)
     uniq, inv = np.unique(values, return_inverse=True)
-    counts = np.bincount(inv)
-    probs = counts / counts.sum()
+    if probs is None:
+        counts = np.bincount(inv)
+        probs = counts / counts.sum()
+    else:
+        probs = np.asarray(probs, np.float64)
+        assert probs.shape[0] == uniq.shape[0], (probs.shape, uniq.shape)
+        probs = np.maximum(probs, 1e-10)
+        probs = probs / probs.sum()
     stream = ArithmeticCoder.encode(inv, probs)
     return len(stream) * 8

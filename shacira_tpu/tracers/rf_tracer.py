@@ -52,6 +52,14 @@ class RFTracerConfig:
                                    # validate_segment_cover)
 
 
+def integration_weights(density, deltas, mask):
+    """Per-sample volume-rendering weights w_i (exclusive transmittance)."""
+    tau = density * deltas * mask
+    cum = jnp.cumsum(tau, axis=-1)
+    transmittance = jnp.exp(-(cum - tau))          # exclusive
+    return transmittance * (1.0 - jnp.exp(-tau))
+
+
 def volume_integrate(color, density, deltas, depth, mask):
     """Masked exclusive volume integration.
 
@@ -60,10 +68,7 @@ def volume_integrate(color, density, deltas, depth, mask):
     Returns:
         rgb [R,3], alpha [R,1], depth_out [R,1]
     """
-    tau = density * deltas * mask
-    cum = jnp.cumsum(tau, axis=-1)
-    transmittance = jnp.exp(-(cum - tau))          # exclusive
-    w = transmittance * (1.0 - jnp.exp(-tau))
+    w = integration_weights(density, deltas, mask)
     rgb = jnp.sum(w[..., None] * color, axis=-2)
     alpha = jnp.sum(w, axis=-1, keepdims=True)
     depth_out = jnp.sum(w * depth, axis=-1, keepdims=True)
@@ -93,35 +98,58 @@ def _stride_compact(flat_mask, budget: int):
     return src, valid
 
 
+def _eval_field(field_fn, coords, dirs):
+    """Normalize a field's outputs to (color, density, extras-dict).
+
+    ``field_fn`` may return (color [...,3], density [...,1]) or additionally
+    a dict of extra per-sample channels {name: [..., k]} to volume-integrate
+    (the reference integrates arbitrary extra nef channels,
+    packed_rf_tracer.py:155-168).
+    """
+    out = field_fn(coords, dirs)
+    if len(out) == 3:
+        return out
+    color, density = out
+    return color, density, {}
+
+
 def _compact_eval_flat(field_fn, flat_samples, flat_dirs, flat_mask,
                        flat_ids, out_size: int, max_samples: int):
     """Evaluate field on up to K masked samples, scatter into a dense buffer.
 
     flat_ids maps each input row to its slot in the [out_size] output;
-    returns color [out_size, 3], density [out_size] (zeros where unevaluated).
+    returns color [out_size, 3], density [out_size], extras {name:
+    [out_size, k]} (zeros where unevaluated).
     """
     src_idx, k_valid = _stride_compact(flat_mask, max_samples)
-    k_color, k_density = field_fn(flat_samples[src_idx], flat_dirs[src_idx])
+    k_color, k_density, k_extras = _eval_field(
+        field_fn, flat_samples[src_idx], flat_dirs[src_idx])
     dst = jnp.where(k_valid, flat_ids[src_idx], out_size)
     color = jnp.zeros((out_size, 3), k_color.dtype)
     density = jnp.zeros((out_size,), k_density.dtype)
     color = color.at[dst].set(k_color, mode='drop')
     density = density.at[dst].set(k_density[..., 0], mode='drop')
-    return color, density
+    extras = {
+        name: jnp.zeros((out_size, v.shape[-1]), v.dtype).at[dst].set(
+            v, mode='drop')
+        for name, v in k_extras.items()}
+    return color, density, extras
 
 
 def _compact_eval(field_fn, samples, dirs, mask, max_samples: int):
     """Evaluate field on up to K occupied samples, scatter back dense.
 
-    samples [R,S,3], dirs [R,3].  Returns color [R,S,3], density [R,S].
+    samples [R,S,3], dirs [R,3].  Returns color [R,S,3], density [R,S],
+    extras {name: [R,S,k]}.
     """
     R, S = mask.shape
-    color, density = _compact_eval_flat(
+    color, density, extras = _compact_eval_flat(
         field_fn, samples.reshape(-1, 3),
         jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3),
         mask.reshape(-1), jnp.arange(R * S, dtype=jnp.int32), R * S,
         max_samples)
-    return color.reshape(R, S, 3), density.reshape(R, S)
+    return (color.reshape(R, S, 3), density.reshape(R, S),
+            {k: v.reshape(R, S, v.shape[-1]) for k, v in extras.items()})
 
 
 def _coarse_res(cfg: RFTracerConfig, occ_cfg: occ.OccupancyGridConfig) -> int:
@@ -224,7 +252,7 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
 
     flat_ids = (src_seg[:, None] * G
                 + jnp.arange(G, dtype=jnp.int32)[None, :]).reshape(-1)
-    color, density = _compact_eval_flat(
+    color, density, extras = _compact_eval_flat(
         field_fn, samples_s.reshape(-1, 3),
         jnp.broadcast_to(d_s[:, None, :], samples_s.shape).reshape(-1, 3),
         fine.reshape(-1), flat_ids, R * S, cfg.max_samples)
@@ -232,7 +260,9 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
     mask_dense = jnp.repeat(mask_c, G, axis=-1)               # [R, S]
     return {'samples': None, 'mask': mask_dense, 'depth': depth,
             'deltas': deltas, 'color': color.reshape(R, S, 3),
-            'density': density.reshape(R, S)}
+            'density': density.reshape(R, S),
+            'extras': {k: v.reshape(R, S, v.shape[-1])
+                       for k, v in extras.items()}}
 
 
 def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
@@ -246,12 +276,15 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         rng: key for raymarch jitter.
     Returns:
         dict with rgb [R,3], alpha [R,1], depth [R,1], hit [R] (RenderBuffer
-        equivalent of the reference, packed_rf_tracer.py:170).
+        equivalent of the reference, packed_rf_tracer.py:170), plus one
+        volume-integrated [R,k] buffer per extra channel the field returns
+        (ref extra-channel integration, packed_rf_tracer.py:155-168).
     """
     if (cfg.raymarch_type == 'ray' and cfg.segment_size > 0
             and cfg.max_samples > 0):
         m = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays, rng)
         color, density, mask = m['color'], m['density'], m['mask']
+        extras = m['extras']
     else:
         if cfg.raymarch_type == 'ray':
             m = occ.raymarch_ray(occ_state, occ_cfg, rays, cfg.num_steps, rng)
@@ -264,14 +297,16 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         samples, mask = m['samples'], m['mask']
         R, S = mask.shape
         if cfg.max_samples and cfg.max_samples < R * S:
-            color, density = _compact_eval(field_fn, samples, rays.dirs, mask,
-                                           cfg.max_samples)
+            color, density, extras = _compact_eval(
+                field_fn, samples, rays.dirs, mask, cfg.max_samples)
         else:
             dirs = jnp.broadcast_to(rays.dirs[:, None, :], samples.shape)
-            color, density = field_fn(samples, dirs)
+            color, density, extras = _eval_field(field_fn, samples, dirs)
             density = density[..., 0]
             color = jnp.where(mask[..., None], color, 0.0)
             density = jnp.where(mask, density, 0.0)
+            extras = {k: jnp.where(mask[..., None], v, 0.0)
+                      for k, v in extras.items()}
 
     rgb, alpha, depth = volume_integrate(color, density, m['deltas'],
                                          m['depth'], mask)
@@ -280,4 +315,9 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         rgb = (1.0 - alpha) + rgb
     else:
         rgb = alpha * rgb  # reference behavior (packed_rf_tracer.py:152)
-    return {'rgb': rgb, 'alpha': alpha, 'depth': depth, 'hit': hit}
+    out = {'rgb': rgb, 'alpha': alpha, 'depth': depth, 'hit': hit}
+    if extras:
+        w = integration_weights(density, m['deltas'], mask)
+        for name, v in extras.items():
+            out[name] = jnp.sum(w[..., None] * v, axis=-2)
+    return out

@@ -74,9 +74,15 @@ class ImageTrainerConfig:
     resample_every: int = 1
     # execution
     chunk_size: int = 500            # scan steps per device dispatch
-    # logging
+    # logging / lifecycle (ref base_trainer.py:334,377-443)
     log_every: int = 1000
-    valid_every: int = -1
+    valid_every: int = -1            # epochs between full-image validations
+    save_every: int = -1             # epochs between resume_state.ckpt writes
+    render_tb_every: int = -1        # epochs between TB image renders
+    # LOD growth curriculum (ref BaseTrainer.grow, base_trainer.py:348-364):
+    # active LODs follow grow_loss_lods; inactive LODs are feature-masked
+    grow_every: int = -1
+    growth_strategy: str = 'increase'
 
 
 class ImageTrainer:
@@ -84,12 +90,13 @@ class ImageTrainer:
 
     def __init__(self, cfg: ImageTrainerConfig, model_cfg: NeuralImageConfig,
                  dataset, seed: int = 0, log_dir: Optional[str] = None,
-                 mesh=None):
+                 mesh=None, logger=None):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.dataset = dataset
         self.log_dir = log_dir
         self.mesh = mesh
+        self.logger = logger          # optional ExperimentLogger
         self.rng = jax.random.PRNGKey(seed)
 
         self.rng, k_init = jax.random.split(self.rng)
@@ -136,6 +143,10 @@ class ImageTrainer:
             lambda p: (jnp.asarray(np.inf, jnp.float32),
                        jnp.asarray(0.0, jnp.float32),
                        jax.tree.map(jnp.copy, p)))(self.params)
+        # validation-time best (ref image_trainer.py:434-442: model_best by
+        # validation loss); host-side, only populated when valid_every > 0
+        self.best_val_psnr = -np.inf
+        self.val_best_params = None
         self.history = []
         self._fns = {}
 
@@ -154,7 +165,8 @@ class ImageTrainer:
         plan_meta = self.plan_meta
 
         def step(params, opt_state, noise, coords, gt, plan_arrays, rng,
-                 ent_lambda, temperature, lr_ldec, do_recalib, refresh_noise):
+                 ent_lambda, temperature, lr_ldec, do_recalib, refresh_noise,
+                 lod_mask):
             k_sga, k_noise = jax.random.split(rng)
 
             # latent norm recalibration (pre-forward, ref :284-296; the
@@ -185,7 +197,8 @@ class ImageTrainer:
                                              temperature=temperature, rng=k_sga)
                 pred = neural_image_rgb(p, mcfg, coords, use_sga=use_sga,
                                         temperature=temperature, rng=k_sga,
-                                        encoder=encoder, affine=affine)
+                                        encoder=encoder, affine=affine,
+                                        lod_mask=lod_mask)
                 rgb_loss = jnp.mean((pred - gt) ** 2)
                 loss = cfg.rgb_loss_weight * rgb_loss
                 aux = {'rgb_loss': rgb_loss, 'pred': pred}
@@ -243,7 +256,7 @@ class ImageTrainer:
                     params, opt_state, noise, step_coords, step_gt,
                     plan_arrays, x['rng'],
                     x['ent_lambda'], x['temperature'], x['lr_ldec'],
-                    x['do_recalib'], x['refresh_noise'])
+                    x['do_recalib'], x['refresh_noise'], x['lod_mask'])
                 better = metrics['rgb_loss'] < best_loss
                 best_loss = jnp.where(better, metrics['rgb_loss'], best_loss)
                 best_psnr = jnp.where(better, metrics['psnr'], best_psnr)
@@ -274,9 +287,19 @@ class ImageTrainer:
                  else np.zeros(n, bool))
         refresh = (np.asarray((iters - 1) % max(cfg.noise_freq, 1) == 0)
                    if self.entropy_enabled else np.zeros(n, bool))
+        num_lods = self.model_cfg.grid.num_lods
+        if cfg.grow_every > 0:
+            from shacira_tpu.core.schedulers import grow_loss_lods
+            masks = np.zeros((n, num_lods), np.float32)
+            for i, e in enumerate(epochs):
+                masks[i, grow_loss_lods(int(e), num_lods, cfg.grow_every,
+                                        cfg.growth_strategy)] = 1.0
+        else:
+            masks = np.ones((n, num_lods), np.float32)
         return {'ent_lambda': jnp.asarray(ent), 'temperature': jnp.asarray(temp),
                 'lr_ldec': jnp.asarray(lr_ldec), 'do_recalib': jnp.asarray(recal),
-                'refresh_noise': jnp.asarray(refresh)}
+                'refresh_noise': jnp.asarray(refresh),
+                'lod_mask': jnp.asarray(masks)}
 
     def _use_sga_at(self, e: int) -> bool:
         cfg = self.cfg
@@ -322,6 +345,7 @@ class ImageTrainer:
             if use_sga:
                 flip = int(np.floor(cfg.decay_period * cfg.epochs))
                 n = min(n, max(1, flip - e0 + 1))
+            n = self._cadence_clip(e0, n)
             xs = self._schedule_arrays(e0, n)
             self.rng, k = jax.random.split(self.rng)
             xs['rng'] = jax.random.split(k, n)
@@ -347,9 +371,64 @@ class ImageTrainer:
                 if self.entropy_enabled:
                     entry['ent_loss'] = float(np.asarray(metrics['ent_loss'][-1:])[0])
                 self.history.append(entry)
+                if self.logger is not None:
+                    for k in ('psnr', 'rgb_loss', 'bpp', 'total_size_kb',
+                              'rounding_loss'):
+                        self.logger.scalar(f'train/{k}', entry[k], self.epoch)
                 if log_fn:
                     log_fn(entry)
+            self._post_chunk(at_epoch_boundary=True, log_fn=log_fn)
         return self.finalize() if finalize else None
+
+    # ------------------------------------------------------------------
+    def _cadence_clip(self, e0: int, n: int) -> int:
+        """Stop chunks at lifecycle boundaries so periodic validation /
+        checkpointing / TB renders run at exact epochs
+        (ref base_trainer.py:334,377-443)."""
+        cfg = self.cfg
+        for every in (cfg.valid_every, cfg.save_every, cfg.render_tb_every):
+            if every and every > 0:
+                nxt = ((e0 - 1) // every + 1) * every
+                n = min(n, max(1, nxt - e0 + 1))
+        return n
+
+    def _post_chunk(self, at_epoch_boundary: bool, log_fn=None):
+        """Periodic lifecycle work after a chunk of steps: validation
+        (valid_every), resume-state checkpoint (save_every), TB image render
+        (render_tb_every)."""
+        if not at_epoch_boundary:
+            return
+        cfg = self.cfg
+        e = self.epoch
+        if cfg.valid_every > 0 and e % cfg.valid_every == 0:
+            m = self.validate()
+            if self.logger is not None:
+                self.logger.scalar('valid/psnr', m['psnr'], e)
+            if log_fn:
+                log_fn({'epoch': e, 'valid_psnr': m['psnr'],
+                        'best_val_psnr': self.best_val_psnr})
+        if (cfg.render_tb_every > 0 and e % cfg.render_tb_every == 0
+                and self.logger is not None):
+            self.logger.image('render/pred', self.render(), e)
+        if cfg.save_every > 0 and e % cfg.save_every == 0 and self.log_dir:
+            from shacira_tpu.utils import checkpoint
+            checkpoint.save_trainer(
+                self, os.path.join(self.log_dir, 'resume_state.ckpt'))
+
+    def validate(self) -> Dict[str, float]:
+        """Full-image eval-mode (rounded latents) validation; tracks the
+        best-by-validation state for model_best (ref image_trainer.py:377-469
+        + :434-442)."""
+        pred = self.render()
+        ds = self.dataset
+        gt = np.asarray(ds.rgb, np.float32).reshape(ds.h, ds.w, 3)
+        p = clamped_psnr(jnp.asarray(pred.reshape(-1, 3)),
+                         jnp.asarray(gt.reshape(-1, 3)))
+        psnr = float(np.asarray(p[None])[0])
+        if psnr > self.best_val_psnr:
+            self.best_val_psnr = psnr
+            self.val_best_params = jax.tree.map(np.asarray, self.params)
+        return {'psnr': psnr, 'epoch': self.epoch}
 
     def _train_sampled(self, epochs: int, log_fn, finalize: bool):
         """Sampled-batch loop for 'wreplace'/'woreplace'/'sequential' modes
@@ -371,8 +450,15 @@ class ImageTrainer:
             use_sga = self._use_sga_at(e0)
             n = min(max(1, cfg.chunk_size), total - done)
             if use_sga:
+                # flip boundary in ITERATIONS from the exact iteration count
+                # `done` (using the rounded epoch drifts by up to a chunk when
+                # chunk_size doesn't divide batches_per_epoch)
                 flip = int(np.floor(cfg.decay_period * cfg.epochs)) * batches_per_epoch
-                n = min(n, max(1, flip - (self.epoch * batches_per_epoch)))
+                n = min(n, max(1, flip - done))
+            for every in (cfg.valid_every, cfg.save_every, cfg.render_tb_every):
+                if every and every > 0:
+                    nxt = (((e0 - 1) // every) + 1) * every * batches_per_epoch
+                    n = min(n, max(1, nxt - done))
             # schedules keyed by epoch; recal/noise flags keyed by iteration
             iters = np.arange(done + 1, done + n + 1)
             ep = (iters - 1) // batches_per_epoch + 1
@@ -397,13 +483,22 @@ class ImageTrainer:
                                  None, None, None, xs)
             (self.params, self.opt_state, self.noise,
              self.best_loss, self.best_psnr, self.best_params) = carry
+            prev_epoch = self.epoch
             done += n
             self.epoch = done // batches_per_epoch
-            if cfg.log_every > 0 and log_fn and (done // n) % max(1, cfg.log_every) == 0:
-                log_fn({'epoch': self.epoch, 'iteration': done,
-                        'psnr': float(np.asarray(metrics['psnr'][-1:])[0]),
-                        'rgb_loss': float(np.asarray(metrics['rgb_loss'][-1:])[0]),
-                        'elapsed': time.time() - t0})
+            crossed = self.epoch != prev_epoch
+            if cfg.log_every > 0 and log_fn and (
+                    (crossed and self.epoch % cfg.log_every == 0)
+                    or done >= total):
+                entry = {'epoch': self.epoch, 'iteration': done,
+                         'psnr': float(np.asarray(metrics['psnr'][-1:])[0]),
+                         'rgb_loss': float(np.asarray(metrics['rgb_loss'][-1:])[0]),
+                         'elapsed': time.time() - t0}
+                if self.logger is not None:
+                    for k in ('psnr', 'rgb_loss'):
+                        self.logger.scalar(f'train/{k}', entry[k], done)
+                log_fn(entry)
+            self._post_chunk(at_epoch_boundary=crossed, log_fn=log_fn)
         return self.finalize() if finalize else None
 
     # ------------------------------------------------------------------
@@ -452,6 +547,8 @@ class ImageTrainer:
                'rgb_loss': float(np.asarray(self.best_loss[None])[0]),
                'epoch': self.epoch,
                'BPP': report['bpp'], **report}
+        if self.val_best_params is not None:
+            out['best_val_psnr'] = self.best_val_psnr
         if self.log_dir:
             os.makedirs(self.log_dir, exist_ok=True)
             with open(os.path.join(self.log_dir, 'metrics.json'), 'w') as f:

@@ -73,19 +73,33 @@ class MultiviewTrainerConfig:
     # execution
     chunk_size: int = 100
     log_every: int = 10             # epochs
+    # lifecycle (ref base_trainer.py:334,377-443)
+    valid_every: int = -1           # epochs between val-split validations
+    valid_views: int = 4            # views rendered per periodic validation
+    save_every: int = -1            # epochs between resume_state.ckpt writes
+    render_tb_every: int = -1       # epochs between TB image renders
+    # LOD growth curriculum (ref BaseTrainer.grow, base_trainer.py:348-364)
+    grow_every: int = -1
+    growth_strategy: str = 'increase'
 
 
 class MultiviewTrainer:
     def __init__(self, cfg: MultiviewTrainerConfig,
                  model_cfg: NeuralRadianceFieldConfig,
                  tracer_cfg: rf_tracer.RFTracerConfig,
-                 dataset, num_rays: int, seed: int = 0, mesh=None):
+                 dataset, num_rays: int, seed: int = 0, mesh=None,
+                 val_dataset=None, log_dir=None, logger=None):
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.tracer_cfg = tracer_cfg
         self.dataset = dataset
+        self.val_dataset = val_dataset      # held-out split for validation
+        self.log_dir = log_dir
+        self.logger = logger                # optional ExperimentLogger
         self.num_rays = num_rays
         self.mesh = mesh
+        self.best_val_psnr = -np.inf
+        self.val_best_params = None
         self.rng = jax.random.PRNGKey(seed)
         self.np_rng = np.random.RandomState(seed)
         if mesh is not None:
@@ -311,6 +325,12 @@ class MultiviewTrainer:
                 # stop chunk at the next prune boundary
                 next_prune = ((self.iteration // cfg.prune_every) + 1) * cfg.prune_every
                 n = min(n, next_prune - self.iteration)
+            # stop chunks at lifecycle epoch boundaries (valid/save/render_tb)
+            e_cur = self._epoch_of(it0)
+            for every in (cfg.valid_every, cfg.save_every, cfg.render_tb_every):
+                if every and every > 0:
+                    nxt = (((e_cur - 1) // every) + 1) * every * self.iters_per_epoch
+                    n = min(n, max(1, nxt - self.iteration))
             e0 = self._epoch_of(it0)
             use_sga = (self.ldecode_enabled and cfg.use_sga
                        and (e0 / cfg.epochs) <= cfg.decay_period)
@@ -335,6 +355,15 @@ class MultiviewTrainer:
                 lods = self.np_rng.choice(num_lods, size=n, p=w / w.sum())
                 masks = (np.arange(num_lods)[None, :] <= lods[:, None])
                 xs['lod_mask'] = jnp.asarray(masks.astype(np.float32))
+            elif cfg.grow_every > 0:
+                # LOD growth curriculum (ref BaseTrainer.grow, :348-364);
+                # inactive LODs are feature-masked
+                from shacira_tpu.core.schedulers import grow_loss_lods
+                masks = np.zeros((n, num_lods), np.float32)
+                for i, e in enumerate(epochs):
+                    masks[i, grow_loss_lods(int(e), num_lods, cfg.grow_every,
+                                            cfg.growth_strategy)] = 1.0
+                xs['lod_mask'] = jnp.asarray(masks)
             else:
                 xs['lod_mask'] = jnp.ones((n, num_lods), jnp.float32)
             ro, rd, gt = self._presample(n)
@@ -364,7 +393,7 @@ class MultiviewTrainer:
                 if cfg.adaptive_budget:
                     self._adapt_budget()
 
-            if log_fn:
+            if log_fn or self.logger is not None:
                 entry = {'iteration': self.iteration,
                          'epoch': self._epoch_of(self.iteration),
                          'rgb_loss': float(np.asarray(metrics['rgb_loss'][-1:])[0]),
@@ -374,42 +403,118 @@ class MultiviewTrainer:
                          'elapsed': time.time() - t0}
                 if cfg.adaptive_budget and self.tracer_cfg.max_samples > 0:
                     entry['sample_budget'] = self.active_tracer_cfg.max_samples
-                log_fn(entry)
+                if self.logger is not None:
+                    for k in ('rgb_loss', 'psnr', 'occupancy'):
+                        self.logger.scalar(f'train/{k}', entry[k],
+                                           self.iteration)
+                if log_fn:
+                    log_fn(entry)
+            self._post_chunk(log_fn)
         return {'iterations': self.iteration,
                 'elapsed': time.time() - t0}
 
     # ------------------------------------------------------------------
+    def _post_chunk(self, log_fn=None):
+        """Periodic lifecycle: validation (valid_every), resume-state
+        checkpoint (save_every), TB render (render_tb_every) — at exact epoch
+        boundaries (chunks are clipped to them in train())."""
+        cfg = self.cfg
+        if self.iteration % self.iters_per_epoch != 0:
+            return
+        e = self.iteration // self.iters_per_epoch
+        if cfg.valid_every > 0 and e % cfg.valid_every == 0:
+            m = self.validate()
+            if self.logger is not None:
+                self.logger.scalar('valid/psnr', m['psnr'], self.iteration)
+                self.logger.scalar('valid/ssim', m['ssim'], self.iteration)
+            if log_fn:
+                log_fn({'epoch': e, 'valid_psnr': m['psnr'],
+                        'valid_ssim': m['ssim'],
+                        'best_val_psnr': self.best_val_psnr})
+        if (cfg.render_tb_every > 0 and e % cfg.render_tb_every == 0
+                and self.logger is not None):
+            d = self.val_dataset or self.dataset
+            self.logger.image('render/view0', self.render_view(0, dataset=d),
+                              self.iteration)
+        if cfg.save_every > 0 and e % cfg.save_every == 0 and self.log_dir:
+            from shacira_tpu.utils import checkpoint
+            import os
+            checkpoint.save_trainer(
+                self, os.path.join(self.log_dir, 'resume_state.ckpt'))
+
+    def validate(self) -> Dict[str, float]:
+        """Validation on the held-out split (ref validate,
+        multiview_trainer.py:275-323): render ``valid_views`` evenly-spaced
+        views, track the best-by-validation state for model_best."""
+        d = self.val_dataset or self.dataset
+        stride = max(1, d.num_views // max(1, self.cfg.valid_views))
+        m = self.evaluate(view_indices=range(0, d.num_views, stride),
+                          dataset=d)
+        if m['psnr'] > self.best_val_psnr:
+            self.best_val_psnr = m['psnr']
+            self.val_best_params = jax.tree.map(np.asarray, self.params)
+        if self.logger is not None:
+            self.logger.record({'iteration': self.iteration, **m})
+        return m
+
+    # ------------------------------------------------------------------
     def render_view(self, view_idx: int, ray_batch: int = 4096,
-                    rng=None) -> np.ndarray:
-        """Render one dataset view (eval mode: rounded latents)."""
-        d = self.dataset
+                    rng=None, dataset=None, params=None,
+                    lod_mask=None) -> np.ndarray:
+        """Render one dataset view (eval mode: rounded latents).
+
+        The codebook is decoded ONCE per view render (the reference's
+        valid-only path likewise decodes once and swaps in a DecoderIdentity,
+        main_nerf.py:669-672) — not inside every ray batch.
+        """
+        d = dataset if dataset is not None else self.dataset
+        params = params if params is not None else self.params
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         mcfg, tcfg = self.model_cfg, self.tracer_cfg
 
-        @jax.jit
-        def render_batch(params, occ_state, ro, rd, k):
-            decoded = lg.decode_codebook(params['grid'], mcfg.grid)
+        if 'decode_once' not in self._fns:
+            self._fns['decode_once'] = jax.jit(
+                lambda p: lg.decode_codebook(p['grid'], mcfg.grid))
+        decoded = self._fns['decode_once'](params)
 
-            def field_fn(coords, dirs):
-                return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
-                                          decoded=decoded)
+        key = ('render_batch', float(d.dist_min), float(d.dist_max),
+               lod_mask is None)
+        if key not in self._fns:
+            dist_min, dist_max = d.dist_min, d.dist_max
 
-            rays = make_rays(ro, rd, d.dist_min, d.dist_max)
-            return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
-                                   tcfg, rays, k)['rgb']
+            @jax.jit
+            def render_batch(params, decoded, occ_state, ro, rd, k, lmask):
+                def field_fn(coords, dirs):
+                    return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
+                                              decoded=decoded,
+                                              lod_mask=lmask)
 
+                rays = make_rays(ro, rd, dist_min, dist_max)
+                return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
+                                       tcfg, rays, k)['rgb']
+
+            self._fns[key] = render_batch
+        render_batch = self._fns[key]
+
+        lmask = (jnp.ones((mcfg.grid.num_lods,), jnp.float32)
+                 if lod_mask is None else jnp.asarray(lod_mask))
         npix = d.rgb.shape[1]
         out = np.zeros((npix, 3), np.float32)
         for s in range(0, npix, ray_batch):
             e = min(s + ray_batch, npix)
             ro = jnp.asarray(d.rays_o[view_idx, s:e])
             rd = jnp.asarray(d.rays_d[view_idx, s:e])
+            if e - s < ray_batch:                   # pad tail to avoid recompile
+                pad = ray_batch - (e - s)
+                ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))])
+                rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
             rng, k = jax.random.split(rng)
-            out[s:e] = np.asarray(render_batch(self.params, self.occ_state,
-                                               ro, rd, k))
+            rgb = np.asarray(render_batch(params, decoded, self.occ_state,
+                                          ro, rd, k, lmask))
+            out[s:e] = rgb[:e - s]
         return out.reshape(d.h, d.w, 3)
 
-    def evaluate(self, view_indices=None) -> Dict[str, float]:
+    def evaluate(self, view_indices=None, dataset=None) -> Dict[str, float]:
         """PSNR/SSIM(/LPIPS) over views (ref evaluate_metrics, :177-235).
 
         LPIPS(VGG) is included when pretrained weights are available (see
@@ -417,7 +522,7 @@ class MultiviewTrainer:
         """
         import os
         from shacira_tpu.ops import lpips as lpips_mod
-        d = self.dataset
+        d = dataset if dataset is not None else self.dataset
         if view_indices is None:
             view_indices = range(d.num_views)
         lpips_w = None
@@ -425,7 +530,7 @@ class MultiviewTrainer:
             lpips_w = lpips_mod.load_lpips_weights()
         psnrs, ssims, lpipses = [], [], []
         for v in view_indices:
-            pred = self.render_view(v)
+            pred = self.render_view(v, dataset=d)
             gtv = d.rgb[v].reshape(d.h, d.w, 3)
             psnrs.append(float(float_psnr(jnp.asarray(pred), jnp.asarray(gtv))))
             ssims.append(float(ssim(pred, gtv)))

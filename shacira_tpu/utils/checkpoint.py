@@ -54,11 +54,41 @@ def save_trainer(trainer, path: str, extra: Dict[str, Any] = None) -> None:
         state['best_params'] = trainer.best_params
         state['best_loss'] = trainer.best_loss
         state['best_psnr'] = trainer.best_psnr
+    if getattr(trainer, 'val_best_params', None) is not None:
+        state['val_best_params'] = trainer.val_best_params
+        state['best_val_psnr'] = trainer.best_val_psnr
+    if hasattr(trainer, '_resampled_epoch'):
+        state['_resampled_epoch'] = trainer._resampled_epoch
     if hasattr(trainer, 'occ_state'):
         state['occ_state'] = trainer.occ_state
     if extra:
         state.update(extra)
     save_state(path, state)
+
+
+def save_model(path: str, params, model_format: str = 'full',
+               configs: Dict[str, Any] = None) -> None:
+    """Save a trained model (ref save_model, base_trainer.py:423-443).
+
+    'full' stores params together with the config dataclasses needed to
+    rebuild the pipeline (the analog of pickling the whole torch Pipeline);
+    'state_dict' stores params only.
+    """
+    if model_format == 'full':
+        save_state(path, {'format': 'full', 'params': params,
+                          'configs': configs or {}})
+    elif model_format == 'state_dict':
+        save_state(path, {'format': 'state_dict', 'params': params})
+    else:
+        raise ValueError(model_format)
+
+
+def load_model(path: str) -> Dict[str, Any]:
+    """Load a model saved by :func:`save_model` (params as device arrays)."""
+    import jax.numpy as jnp
+    state = load_state(path)
+    state['params'] = jax.tree.map(jnp.asarray, state['params'])
+    return state
 
 
 def restore_trainer(trainer, path: str) -> Dict[str, Any]:
@@ -79,6 +109,11 @@ def restore_trainer(trainer, path: str) -> Dict[str, Any]:
         trainer.best_params = to_dev(state['best_params'])
         trainer.best_loss = jnp.asarray(state['best_loss'])
         trainer.best_psnr = jnp.asarray(state['best_psnr'])
+    if 'val_best_params' in state:
+        trainer.val_best_params = state['val_best_params']   # host arrays
+        trainer.best_val_psnr = state['best_val_psnr']
+    if '_resampled_epoch' in state:
+        trainer._resampled_epoch = state['_resampled_epoch']
     if 'occ_state' in state and hasattr(trainer, 'occ_state'):
         trainer.occ_state = to_dev(state['occ_state'])
     return state
