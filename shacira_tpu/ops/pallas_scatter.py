@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scatter_kernel(idx_ref, val_ref, out_ref, *, P, E, F, B, SUB):
+def _scatter_kernel(idx_ref, val_ref, out_ref, *, P, E, F, B, SUB,
+                    dtype=jnp.bfloat16):
     """Samples live on the LANE axis (1-D idx block, [F, B] value block) so
     VMEM footprints stay compact; each sub-block builds its one-hot factors
     as [P, SUB] / [E*F, SUB] (broadcast over sublanes — no relayouts) and
@@ -44,10 +45,10 @@ def _scatter_kernel(idx_ref, val_ref, out_ref, *, P, E, F, B, SUB):
         page = (idx // E)[None, :]                       # [1, SUB]
         entry = (idx % E)[None, :]                       # [1, SUB]
         p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, SUB), 0)
-        a = (page == p_iota).astype(jnp.bfloat16)        # [P, SUB]
+        a = (page == p_iota).astype(dtype)               # [P, SUB]
         ef_iota = jax.lax.broadcasted_iota(jnp.int32, (E * F, SUB), 0) // F
-        val_rep = jnp.tile(vals.astype(jnp.bfloat16), (E, 1))   # [E*F, SUB]
-        b = jnp.where(entry == ef_iota, val_rep, jnp.bfloat16(0))
+        val_rep = jnp.tile(vals.astype(dtype), (E, 1))   # [E*F, SUB]
+        b = jnp.where(entry == ef_iota, val_rep, dtype(0))
         # contract over the lane (sample) axis: [P, SUB] x [E*F, SUB]^T,
         # accumulating straight into the resident output block (saves an
         # accumulator copy of the [P, E*F] f32 table in VMEM)
@@ -61,13 +62,15 @@ def _scatter_kernel(idx_ref, val_ref, out_ref, *, P, E, F, B, SUB):
 
 def onehot_scatter_add(idx, vals, table_size: int, *, block: int = 16384,
                        sub_block: int = 1024,
-                       entries: int = None, interpret: bool = False):
+                       entries: int = None, interpret: bool = False,
+                       compute_dtype=jnp.bfloat16):
     """Deterministic scatter-add: out[t] += sum over idx==t of vals.
 
     Args:
         idx: [N] int32 in [0, table_size).
-        vals: [N, F] float (bf16-rounded before MXU accumulation, matching
-            the reference's fp16 atomicAdd precision under AMP).
+        vals: [N, F] float (``compute_dtype``-rounded before MXU
+            accumulation; bf16 default matches the reference's fp16
+            atomicAdd precision under AMP, f32 for exact reductions).
         table_size: number of output rows T.
         entries: page split E (defaults to min(T, 1024); T must divide by it).
     Returns:
@@ -93,7 +96,7 @@ def onehot_scatter_add(idx, vals, table_size: int, *, block: int = 16384,
 
     out = pl.pallas_call(
         functools.partial(_scatter_kernel, P=p, E=e, F=f, B=block,
-                          SUB=min(sub_block, block)),
+                          SUB=min(sub_block, block), dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct((p, e * f), jnp.float32),
         grid=(n_pad // block,),
         in_specs=[pl.BlockSpec((block,), lambda i: (i,)),
@@ -125,3 +128,50 @@ def scatter_add(idx, vals, table_size: int):
         return onehot_scatter_add(idx, vals, table_size)
     return jnp.zeros((table_size, f),
                      jnp.float32).at[idx].add(vals.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_sum(idx, vals, num_rows: int):
+    """Differentiable deterministic segment-sum: out[r] = sum over idx==r.
+
+    The linear, exact-f32 sibling of :func:`scatter_add` for SMALL output
+    tables (per-ray reductions in the tracer: num_rows = #rays).  On TPU the
+    forward runs as a one-hot matmul in **f32** (num_rows*F*2 FLOPs per input
+    row is negligible for ray counts, and f32 keeps volume-integration sums
+    at dense-path precision); the backward of a segment-sum is just a gather
+    of the cotangent rows, so training steps never pay a scatter here.
+
+    Args:
+        idx: [N] int32 in [0, num_rows).
+        vals: [N, F] float32.
+    Returns:
+        [num_rows, F] float32.
+    """
+    return _segment_sum_fwd_impl(idx, vals, num_rows)
+
+
+def _segment_sum_fwd_impl(idx, vals, num_rows: int):
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = 'cpu'
+    f = vals.shape[-1]
+    # f32 MXU runs at ~1/4 the bf16 rate
+    pallas_ns_per_row = num_rows * f * 2 / (_MXU_FLOPS / 4) * 1e9
+    if (platform in ('tpu', 'axon')
+            and pallas_ns_per_row < _XLA_SCATTER_NS_PER_ROW):
+        return onehot_scatter_add(idx, vals.astype(jnp.float32), num_rows,
+                                  compute_dtype=jnp.float32)
+    return jnp.zeros((num_rows, f),
+                     jnp.float32).at[idx].add(vals.astype(jnp.float32))
+
+
+def _segment_sum_fwd(idx, vals, num_rows: int):
+    return _segment_sum_fwd_impl(idx, vals, num_rows), idx
+
+
+def _segment_sum_bwd(num_rows, idx, ct):
+    return None, jnp.take(ct, idx, axis=0).astype(jnp.float32)
+
+
+segment_sum.defvjp(_segment_sum_fwd, _segment_sum_bwd)

@@ -113,43 +113,78 @@ def _eval_field(field_fn, coords, dirs):
     return color, density, {}
 
 
-def _compact_eval_flat(field_fn, flat_samples, flat_dirs, flat_mask,
-                       flat_ids, out_size: int, max_samples: int):
-    """Evaluate field on up to K masked samples, scatter into a dense buffer.
+def _segmented_cumsum_excl(tau, ray_start):
+    """Exclusive per-segment prefix sum of ``tau`` [K] with segment
+    boundaries at ``ray_start`` [K] bool.
 
-    flat_ids maps each input row to its slot in the [out_size] output;
-    returns color [out_size, 3], density [out_size], extras {name:
-    [out_size, k]} (zeros where unevaluated).
+    A log-depth associative scan over (flag, sum) pairs — for fixed flags
+    the result is a *linear* function of tau, so autodiff gradients are
+    exact, and magnitudes never cross ray boundaries (no cancellation, in
+    contrast to a global cumsum minus per-ray base)."""
+    def combine(a, b):
+        a_flag, a_sum = a
+        b_flag, b_sum = b
+        return a_flag | b_flag, jnp.where(b_flag, b_sum, a_sum + b_sum)
+
+    _, incl = jax.lax.associative_scan(combine, (ray_start, tau))
+    return incl - tau
+
+
+def volume_integrate_compact(color, density, deltas, depth, valid, ray_id,
+                             num_rays: int, extras=None):
+    """Compact-form masked volume integration (the TPU packing analog).
+
+    Rows must be sorted by (ray, sample-depth) over the valid prefix — the
+    stable-compaction invariant of :func:`_stride_compact`.  Mathematically
+    identical to running :func:`volume_integrate` on a dense scatter-back of
+    the rows (absent/invalid samples carry zero optical thickness) but never
+    materializes the dense [R, S] buffers: the per-ray exclusive cumsum is a
+    segmented associative scan and the per-ray reductions run as one f32
+    one-hot matmul (``pallas_scatter.segment_sum``) whose backward is a
+    gather — so neither direction pays an XLA row-scatter.
+
+    Args:
+        color [K,3], density [K], deltas [K], depth [K], valid [K] bool,
+        ray_id [K] int32 (non-decreasing over valid rows), num_rays R.
+        extras: optional {name: [K, k]} per-sample channels.
+    Returns:
+        dict with rgb [R,3], alpha [R,1], depth [R,1] and one [R,k] entry
+        per extra channel (pre-background-compositing).
     """
+    from shacira_tpu.ops import pallas_scatter
+
+    tau = density * deltas * jnp.where(valid, 1.0, 0.0)
+    ray_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ray_id[1:] != ray_id[:-1]])
+    transmittance = jnp.exp(-_segmented_cumsum_excl(tau, ray_start))
+    w = transmittance * (1.0 - jnp.exp(-tau))      # 0 exactly when invalid
+    cols = [w[:, None] * color, w[:, None], (w * depth)[:, None]]
+    names, sizes = [], [3, 1, 1]
+    if extras:
+        for name, val in extras.items():
+            cols.append(w[:, None] * val)
+            names.append(name)
+            sizes.append(val.shape[-1])
+    payload = jnp.concatenate(cols, axis=-1).astype(jnp.float32)
+    sums = pallas_scatter.segment_sum(ray_id, payload, num_rays)
+    out = {'rgb': sums[:, :3], 'alpha': sums[:, 3:4],
+           'depth': sums[:, 4:5]}
+    off = 5
+    for name, k in zip(names, sizes[3:]):
+        out[name] = sums[:, off:off + k]
+        off += k
+    return out
+
+
+def _compact_eval_rows(field_fn, flat_samples, flat_dirs, flat_mask,
+                       max_samples: int):
+    """Evaluate the field on up to K occupied rows (stable stride
+    compaction).  Returns (src_idx [K], valid [K], color [K,3],
+    density [K], extras {name: [K,k]})."""
     src_idx, k_valid = _stride_compact(flat_mask, max_samples)
     k_color, k_density, k_extras = _eval_field(
         field_fn, flat_samples[src_idx], flat_dirs[src_idx])
-    dst = jnp.where(k_valid, flat_ids[src_idx], out_size)
-    color = jnp.zeros((out_size, 3), k_color.dtype)
-    density = jnp.zeros((out_size,), k_density.dtype)
-    color = color.at[dst].set(k_color, mode='drop')
-    density = density.at[dst].set(k_density[..., 0], mode='drop')
-    extras = {
-        name: jnp.zeros((out_size, v.shape[-1]), v.dtype).at[dst].set(
-            v, mode='drop')
-        for name, v in k_extras.items()}
-    return color, density, extras
-
-
-def _compact_eval(field_fn, samples, dirs, mask, max_samples: int):
-    """Evaluate field on up to K occupied samples, scatter back dense.
-
-    samples [R,S,3], dirs [R,3].  Returns color [R,S,3], density [R,S],
-    extras {name: [R,S,k]}.
-    """
-    R, S = mask.shape
-    color, density, extras = _compact_eval_flat(
-        field_fn, samples.reshape(-1, 3),
-        jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3),
-        mask.reshape(-1), jnp.arange(R * S, dtype=jnp.int32), R * S,
-        max_samples)
-    return (color.reshape(R, S, 3), density.reshape(R, S),
-            {k: v.reshape(R, S, v.shape[-1]) for k, v in extras.items()})
+    return src_idx, k_valid, k_color, k_density[..., 0], k_extras
 
 
 def _coarse_res(cfg: RFTracerConfig, occ_cfg: occ.OccupancyGridConfig) -> int:
@@ -245,24 +280,22 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
     src_seg, seg_valid = _stride_compact(mask_c.reshape(-1), k_seg)
     r_id = src_seg // ns
     depth_s = jnp.take(depth.reshape(R * ns, G), src_seg, axis=0)   # [K, G]
+    delta_s = jnp.take(deltas.reshape(R * ns, G), src_seg, axis=0)  # [K, G]
     o_s = jnp.take(rays.origins, r_id, axis=0)
     d_s = jnp.take(rays.dirs, r_id, axis=0)
     samples_s = o_s[:, None, :] + d_s[:, None, :] * depth_s[..., None]
     fine = occ.query(occ_state, occ_cfg, samples_s) & seg_valid[:, None]
 
-    flat_ids = (src_seg[:, None] * G
-                + jnp.arange(G, dtype=jnp.int32)[None, :]).reshape(-1)
-    color, density, extras = _compact_eval_flat(
-        field_fn, samples_s.reshape(-1, 3),
-        jnp.broadcast_to(d_s[:, None, :], samples_s.shape).reshape(-1, 3),
-        fine.reshape(-1), flat_ids, R * S, cfg.max_samples)
-
-    mask_dense = jnp.repeat(mask_c, G, axis=-1)               # [R, S]
-    return {'samples': None, 'mask': mask_dense, 'depth': depth,
-            'deltas': deltas, 'color': color.reshape(R, S, 3),
-            'density': density.reshape(R, S),
-            'extras': {k: v.reshape(R, S, v.shape[-1])
-                       for k, v in extras.items()}}
+    # flat per-row arrays over [k_seg*G]; rows ascend in (ray, depth) order
+    # over the live prefix (stable compaction), as the compact integration
+    # requires
+    return dict(
+        samples=samples_s.reshape(-1, 3),
+        dirs=jnp.broadcast_to(d_s[:, None, :], samples_s.shape).reshape(-1, 3),
+        mask=fine.reshape(-1),
+        depth=depth_s.reshape(-1),
+        deltas=delta_s.reshape(-1),
+        ray=jnp.broadcast_to(r_id[:, None], (k_seg, G)).reshape(-1))
 
 
 def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
@@ -280,11 +313,12 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         volume-integrated [R,k] buffer per extra channel the field returns
         (ref extra-channel integration, packed_rf_tracer.py:155-168).
     """
+    R = rays.origins.shape[0]
     if (cfg.raymarch_type == 'ray' and cfg.segment_size > 0
             and cfg.max_samples > 0):
-        m = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays, rng)
-        color, density, mask = m['color'], m['density'], m['mask']
-        extras = m['extras']
+        flat = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays,
+                                    rng)
+        out = _trace_compact_flat(field_fn, flat, cfg.max_samples, R)
     else:
         if cfg.raymarch_type == 'ray':
             m = occ.raymarch_ray(occ_state, occ_cfg, rays, cfg.num_steps, rng)
@@ -295,10 +329,19 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
             raise ValueError(cfg.raymarch_type)
 
         samples, mask = m['samples'], m['mask']
-        R, S = mask.shape
+        S = mask.shape[1]
         if cfg.max_samples and cfg.max_samples < R * S:
-            color, density, extras = _compact_eval(
-                field_fn, samples, rays.dirs, mask, cfg.max_samples)
+            flat = dict(
+                samples=samples.reshape(-1, 3),
+                dirs=jnp.broadcast_to(rays.dirs[:, None, :],
+                                      (R, S, 3)).reshape(-1, 3),
+                mask=mask.reshape(-1),
+                depth=m['depth'].reshape(-1),
+                deltas=m['deltas'].reshape(-1),
+                ray=jnp.broadcast_to(
+                    jnp.arange(R, dtype=jnp.int32)[:, None],
+                    (R, S)).reshape(-1))
+            out = _trace_compact_flat(field_fn, flat, cfg.max_samples, R)
         else:
             dirs = jnp.broadcast_to(rays.dirs[:, None, :], samples.shape)
             color, density, extras = _eval_field(field_fn, samples, dirs)
@@ -307,17 +350,27 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
             density = jnp.where(mask, density, 0.0)
             extras = {k: jnp.where(mask[..., None], v, 0.0)
                       for k, v in extras.items()}
+            rgb, alpha, depth = volume_integrate(color, density, m['deltas'],
+                                                 m['depth'], mask)
+            out = {'rgb': rgb, 'alpha': alpha, 'depth': depth}
+            if extras:
+                w = integration_weights(density, m['deltas'], mask)
+                for name, v in extras.items():
+                    out[name] = jnp.sum(w[..., None] * v, axis=-2)
 
-    rgb, alpha, depth = volume_integrate(color, density, m['deltas'],
-                                         m['depth'], mask)
-    hit = alpha[..., 0] > 0.0
+    alpha = out['alpha']
+    out['hit'] = alpha[..., 0] > 0.0
     if cfg.bg_color == 'white':
-        rgb = (1.0 - alpha) + rgb
+        out['rgb'] = (1.0 - alpha) + out['rgb']
     else:
-        rgb = alpha * rgb  # reference behavior (packed_rf_tracer.py:152)
-    out = {'rgb': rgb, 'alpha': alpha, 'depth': depth, 'hit': hit}
-    if extras:
-        w = integration_weights(density, m['deltas'], mask)
-        for name, v in extras.items():
-            out[name] = jnp.sum(w[..., None] * v, axis=-2)
+        out['rgb'] = alpha * out['rgb']  # reference (packed_rf_tracer.py:152)
     return out
+
+
+def _trace_compact_flat(field_fn, flat, max_samples: int, num_rays: int):
+    """Evaluate + integrate flat candidate rows fully in compact form."""
+    src_idx, valid, color, density, extras = _compact_eval_rows(
+        field_fn, flat['samples'], flat['dirs'], flat['mask'], max_samples)
+    return volume_integrate_compact(
+        color, density, flat['deltas'][src_idx], flat['depth'][src_idx],
+        valid, flat['ray'][src_idx], num_rays, extras)
