@@ -62,6 +62,9 @@ def build_image_parser() -> argparse.ArgumentParser:
     g.add_argument('--num-lods', type=int, default=16)
     g.add_argument('--base-lod', type=int, default=2)
     g.add_argument('--codebook-bitwidth', type=int, default=8)
+    # TPU-native spatially-paged hash layout (ops/paged_hash.py)
+    g.add_argument('--hash-layout', type=str, default='xor',
+                   choices=['xor', 'paged'])
     g.add_argument('--tree-type', type=str, default='geometric')
     g.add_argument('--min-grid-res', type=int, default=16)
     g.add_argument('--max-grid-res', type=int, default=512)
@@ -141,6 +144,10 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument('--seg-budget', type=int, default=0)
     g.add_argument('--coarse-level', type=int, default=5)
     g.add_argument('--seg-dilation', type=int, default=1)
+    # paged-encode path (TPU-native; ops/paged_hash.py): requires
+    # --hash-layout paged on the grid
+    g.add_argument('--eval-seg-budget', type=int, default=0)
+    g.add_argument('--group-segs-per-block', type=int, default=8)
 
     g = parser.add_argument_group('net')  # nerf nef extras
     g.add_argument('--view-embedder', type=str, default='positional')
@@ -252,6 +259,7 @@ def build_grid_config(args, resolution_dim: int):
         feature_bias=args.feature_bias,
         codebook_bitwidth=args.codebook_bitwidth,
         init_grid=args.init_grid,
+        hash_layout=getattr(args, 'hash_layout', 'xor'),
         num_prob_layers=args.num_prob_layers,
         noise_freq=args.noise_freq,
         entropy_enabled=args.ldecode_enabled and (
@@ -350,4 +358,6 @@ def build_tracer_config(args):
         bg_color=args.bg_color, max_intersections=args.max_intersections,
         max_samples=args.max_samples, segment_size=args.segment_size,
         seg_budget=args.seg_budget, coarse_level=args.coarse_level,
-        seg_dilation=args.seg_dilation)
+        seg_dilation=args.seg_dilation,
+        eval_seg_budget=args.eval_seg_budget,
+        group_segs_per_block=args.group_segs_per_block)

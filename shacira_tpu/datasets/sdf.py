@@ -16,14 +16,34 @@ from shacira_tpu.ops import sdf as sdf_ops
 
 
 class SDFDataset:
-    """Pool of SDF samples with batch iteration (ref MeshSampledSDFDataset)."""
+    """Pool of SDF samples with batch iteration (ref MeshSampledSDFDataset).
+
+    ``num_samples`` enables the reference's cached-pool scheme
+    (octree_sdf_dataset.py:151-160): the full (coords, sdf) pool is kept and
+    :meth:`resample` subsamples a working set of that size; batches draw from
+    the working set only.
+    """
 
     def __init__(self, coords: np.ndarray, sdf: np.ndarray, batch_size: int,
-                 seed: int = 0):
-        self.coords = np.asarray(coords, np.float32)
-        self.sdf = np.asarray(sdf, np.float32).reshape(-1, 1)
+                 seed: int = 0, num_samples: Optional[int] = None):
+        self.pool_coords = np.asarray(coords, np.float32)
+        self.pool_sdf = np.asarray(sdf, np.float32).reshape(-1, 1)
         self.batch_size = batch_size
+        self.num_samples = num_samples
         self.rng = np.random.RandomState(seed)
+        self.resample()
+
+    @property
+    def pool_size(self) -> int:
+        return len(self.pool_coords)
+
+    def resample(self) -> None:
+        """Draw a fresh working set from the cached pool (quick subsample)."""
+        if self.num_samples is None or self.num_samples >= self.pool_size:
+            self.coords, self.sdf = self.pool_coords, self.pool_sdf
+            return
+        idx = self.rng.permutation(self.pool_size)[:self.num_samples]
+        self.coords, self.sdf = self.pool_coords[idx], self.pool_sdf[idx]
 
     def __len__(self):
         return max(1, len(self.coords) // self.batch_size)

@@ -26,6 +26,7 @@ import numpy as np
 
 from shacira_tpu.ops.hashgrid import (
     HashGridSpec, geometric_resolutions, octree_resolutions, hash_encode,
+    hash_encode_affine,
 )
 from shacira_tpu.ops import coding
 from shacira_tpu.models.latent_decoders import (
@@ -61,6 +62,7 @@ class LatentGridConfig:
     num_prob_layers: int = 4
     noise_freq: int = 1
     entropy_enabled: bool = False
+    hash_layout: str = 'xor'              # 'xor' | 'paged' (ops/paged_hash.py)
 
     @property
     def effective_latent_dim(self) -> int:
@@ -68,7 +70,8 @@ class LatentGridConfig:
 
     @property
     def spec(self) -> HashGridSpec:
-        return HashGridSpec(self.resolutions, self.codebook_bitwidth, self.resolution_dim)
+        return HashGridSpec(self.resolutions, self.codebook_bitwidth,
+                            self.resolution_dim, hash_layout=self.hash_layout)
 
     @property
     def num_lods(self) -> int:
@@ -247,6 +250,64 @@ def interpolate(params, cfg: LatentGridConfig, coords, *,
     else:
         raise NotImplementedError(cfg.multiscale_type)
     return out.reshape(*lead_shape, out.shape[-1])
+
+
+def interpolate_paged(params, cfg: LatentGridConfig, coords, grouping,
+                      seg_size: int, *, use_sga: bool = False,
+                      temperature: float = 1.0,
+                      rng: Optional[jax.Array] = None,
+                      lod_mask: Optional[jax.Array] = None,
+                      affine=None):
+    """Paged fast-path interpolate (affine decoders, segment-grouped rows).
+
+    Direct/small LODs run the plain gather path; paged LODs (a suffix, see
+    ops/paged_hash.py) interpolate raw latents with the block-local MXU
+    kernels and decode *after* interpolation (exact for affine decoders since
+    trilinear weights sum to 1).
+
+    Args:
+        coords: [K*G, 3] segment-ordered sample rows in [-1, 1].
+        grouping: dict from ``paged_hash.group_segments`` over the K segments.
+        seg_size: G (static).
+    Returns:
+        [K*G, output_dim] features.
+    """
+    from shacira_tpu.ops import paged_hash as ph
+    if affine is None:
+        affine = affine_parts(params, cfg, use_sga=use_sga,
+                              temperature=temperature, rng=rng)
+    z, matrix, shift = affine
+    spec = cfg.spec
+    non, pag = ph.paged_lods(spec)
+    n2 = coords.shape[0]
+    k2 = n2 // seg_size
+    feats_direct = hash_encode_affine(coords, z, matrix, shift, spec,
+                                      tuple(non))          # [N2, Ln, F]
+
+    # slot the rows by grouping cell, interpolate latents, map back
+    s2s = grouping['slotseg_to_seg']                       # [n_slotseg]
+    n_slotseg = s2s.shape[0]
+    rows = coords.reshape(k2, seg_size * 3)
+    coords_s = jnp.take(rows, jnp.minimum(s2s, k2 - 1), axis=0)
+    sv_seg = s2s < k2
+    coords_s = jnp.where(sv_seg[:, None], coords_s, 0.0)
+    coords_s = coords_s.reshape(n_slotseg * seg_size, 3)
+    slot_valid = jnp.repeat(sv_seg, seg_size)
+    static = ph.default_static(spec)
+    zbar_s = ph.paged_interp_lods(coords_s, slot_valid, grouping['block_cell'],
+                                  grouping['cell_used'], z, static)
+    lp, ld = len(pag), z.shape[-1]
+    zbar_rows = ph.permute_rows(
+        zbar_s.reshape(n_slotseg, seg_size * lp * ld),
+        grouping['seg_to_slotseg'], s2s, k2)
+    zbar = zbar_rows.reshape(n2, lp, ld)
+    decoded_paged = zbar @ matrix + shift                  # [N2, Lp, F]
+    feats = jnp.concatenate([feats_direct, decoded_paged], axis=1)
+    if lod_mask is not None:
+        feats = feats * lod_mask[None, :, None]
+    if cfg.multiscale_type == 'cat':
+        return feats.reshape(n2, -1)
+    return feats.sum(axis=1)
 
 
 def ent_loss(params, cfg: LatentGridConfig, noise, *, is_val: bool = False):

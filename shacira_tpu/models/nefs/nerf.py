@@ -87,19 +87,26 @@ def nerf_init(rng, cfg: NeuralRadianceFieldConfig):
     }
 
 
-def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
-              use_sga: bool = False, temperature: float = 1.0,
-              rng: Optional[jax.Array] = None,
-              decoded: Optional[jax.Array] = None,
-              affine=None, lod_mask: Optional[jax.Array] = None):
-    """coords [..., 3], ray_d [..., 3] -> (rgb [..., 3], density [..., 1]).
-
-    Mirrors NeuralRadianceField.rgba (nerf.py:192-234) incl. the negated view
-    direction fed to the view embedder (:222).
-    """
-    feats = lg.interpolate(params['grid'], cfg.grid, coords,
-                           use_sga=use_sga, temperature=temperature, rng=rng,
-                           decoded=decoded, affine=affine, lod_mask=lod_mask)
+def nerf_feats(params, cfg: NeuralRadianceFieldConfig, coords, *,
+               use_sga: bool = False, temperature: float = 1.0,
+               rng: Optional[jax.Array] = None,
+               decoded: Optional[jax.Array] = None,
+               affine=None, lod_mask: Optional[jax.Array] = None,
+               grouping=None, seg_size: int = 0):
+    """Grid features (+ positional embedding) at coords — the encode half of
+    the field.  With ``grouping`` (from paged_hash.group_segments over
+    segment-ordered rows) the paged fast path runs; otherwise the plain
+    interpolate."""
+    if grouping is not None:
+        feats = lg.interpolate_paged(params['grid'], cfg.grid, coords,
+                                     grouping, seg_size, use_sga=use_sga,
+                                     temperature=temperature, rng=rng,
+                                     affine=affine, lod_mask=lod_mask)
+    else:
+        feats = lg.interpolate(params['grid'], cfg.grid, coords,
+                               use_sga=use_sga, temperature=temperature,
+                               rng=rng, decoded=decoded, affine=affine,
+                               lod_mask=lod_mask)
     if cfg.pos_embed_dim:
         if cfg.pos_embedder == 'positional':
             emb = positional_embed(PositionalEmbedderConfig(
@@ -107,8 +114,13 @@ def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
         else:
             emb = coords
         feats = jnp.concatenate([feats, emb], axis=-1)
-    density_feats = mlp_apply(params['decoder_density'], cfg.density_mlp_cfg, feats)
+    return feats
 
+
+def nerf_head(params, cfg: NeuralRadianceFieldConfig, feats, ray_d):
+    """MLP half of the field: grid feats + view dirs -> (rgb, density)."""
+    density_feats = mlp_apply(params['decoder_density'], cfg.density_mlp_cfg,
+                              feats)
     if cfg.view_embed_dim:
         if cfg.view_embedder == 'positional':
             vemb = positional_embed(PositionalEmbedderConfig(
@@ -121,6 +133,22 @@ def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
     colors = jax.nn.sigmoid(mlp_apply(params['decoder_color'], cfg.color_mlp_cfg, fdir))
     density = jax.nn.relu(density_feats[..., 0:1])
     return colors, density
+
+
+def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
+              use_sga: bool = False, temperature: float = 1.0,
+              rng: Optional[jax.Array] = None,
+              decoded: Optional[jax.Array] = None,
+              affine=None, lod_mask: Optional[jax.Array] = None):
+    """coords [..., 3], ray_d [..., 3] -> (rgb [..., 3], density [..., 1]).
+
+    Mirrors NeuralRadianceField.rgba (nerf.py:192-234) incl. the negated view
+    direction fed to the view embedder (:222).
+    """
+    feats = nerf_feats(params, cfg, coords, use_sga=use_sga,
+                       temperature=temperature, rng=rng, decoded=decoded,
+                       affine=affine, lod_mask=lod_mask)
+    return nerf_head(params, cfg, feats, ray_d)
 
 
 def nerf_density(params, cfg: NeuralRadianceFieldConfig, coords, **kw):

@@ -34,6 +34,24 @@ import numpy as np
 # (hashgrid_interpolate_cuda.cu:25, hashgrid_interpolate2d_cuda.cu:25).
 PRIMES = (1, 2654435761, 805459861)
 
+# Coarse spatial bins per axis for the 'paged' hash layout (see
+# HashGridSpec.hash_layout).  P = PAGE_RES**dim pages; entries per page
+# E = codebook_size / P.
+PAGE_RES = 16
+
+
+def paged_params(res: int, codebook_size: int, dim: int):
+    """(num_pages, entries_per_page) for a paged hashed LOD, or None when the
+    LOD cannot be paged (direct-indexed, table not divisible by P, or fewer
+    than 32 entries per page — tiny pages measurably skew the collision
+    distribution vs the global XOR hash, see tests/test_paged_hash.py)."""
+    if use_direct_index(res, codebook_size, dim):
+        return None
+    p = PAGE_RES ** dim
+    if codebook_size % p or codebook_size < 32 * p:
+        return None
+    return p, codebook_size // p
+
 
 def _int32_wrap(x: int) -> int:
     """Emulate C int32 overflow for the direct-index condition.
@@ -68,10 +86,20 @@ class HashGridSpec:
         resolutions: per-LOD grid resolution (static).
         codebook_bitwidth: table size cap is ``2 ** bitwidth``.
         dim: coordinate dimensionality (2 for images, 3 for NeRF/SDF).
+        hash_layout: 'xor' — the reference XOR-prime hash
+            (hashgrid_interpolate_cuda.cu:17-39); 'paged' — TPU-native
+            spatially-paged layout: entry = page(cell) * E + (xor_hash & E-1)
+            where page is the cell's coarse spatial bin at
+            ``PAGE_RES`` per axis.  Same capacity and (statistically) the
+            same collision rate as 'xor', but corner entries of spatially
+            close samples land in the same page, which lets the encode run
+            as page-local one-hot matmuls (ops/paged_hash.py) instead of
+            random HBM gathers.
     """
     resolutions: Tuple[int, ...]
     codebook_bitwidth: int
     dim: int
+    hash_layout: str = 'xor'
 
     @property
     def codebook_size(self) -> int:
@@ -200,9 +228,29 @@ def _lod_corner_indices_and_weights(coords, res: int, spec: HashGridSpec):
         acc = u[..., 0] * jnp.uint32(PRIMES[0])
         for d in range(1, dim):
             acc = acc ^ (u[..., d] * jnp.uint32(PRIMES[d]))
-        # table size is a power of two, so % == bitmask (cu:36).
-        idx = (acc & jnp.uint32(cs - 1)).astype(jnp.int32)
+        paged = (spec.hash_layout == 'paged'
+                 and paged_params(res, cs, dim) is not None)
+        if paged:
+            _, e = paged_params(res, cs, dim)
+            page = _page_of_cell(cpos, res, dim)
+            idx = (page * e + (acc & jnp.uint32(e - 1)).astype(jnp.int32))
+        else:
+            # table size is a power of two, so % == bitmask (cu:36).
+            idx = (acc & jnp.uint32(cs - 1)).astype(jnp.int32)
     return idx, w
+
+
+def _page_of_cell(cpos, res: int, dim: int):
+    """Coarse page id of integer cell coords (x-major linearization).
+
+    ``page_axis = (cell * PAGE_RES) // res`` — exact integer arithmetic, so
+    the kernel-side page math (ops/paged_hash.py) reproduces it bit-exactly.
+    """
+    pax = (cpos * PAGE_RES) // res                    # [..., dim]
+    page = pax[..., 0]
+    for d in range(1, dim):
+        page = page * PAGE_RES + pax[..., d]
+    return page
 
 
 # Brick-packed gather for direct (dense) LODs: gather cost on TPU is per-ROW
@@ -329,8 +377,9 @@ hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def hash_encode_affine(coords, z, scale, shift, spec: HashGridSpec):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def hash_encode_affine(coords, z, scale, shift, spec: HashGridSpec,
+                       active_lods: Tuple[int, ...] = None):
     """Multi-LOD interpolation of ``z @ scale + shift``.
 
     Args:
@@ -338,13 +387,20 @@ def hash_encode_affine(coords, z, scale, shift, spec: HashGridSpec):
         z: [total_size, latent_dim] quantized+normalized latents.
         scale: [latent_dim, F] decode matrix.
         shift: [1, F] decode bias (pass zeros when unused).
-    Returns: [N, L, F].
+        active_lods: static LOD subset to evaluate (None = all); output and
+            grads cover only those LODs (the paged-encode path handles the
+            rest, ops/paged_hash.py).
+    Returns: [N, len(active_lods or L), F].
     """
-    out, _ = _affine_fwd_impl(coords, z, scale, shift, spec)
+    out, _ = _affine_fwd_impl(coords, z, scale, shift, spec, active_lods)
     return out
 
 
-def _affine_fwd_impl(coords, z, scale, shift, spec):
+def _active(spec, active_lods):
+    return tuple(range(spec.num_lods)) if active_lods is None else active_lods
+
+
+def _affine_fwd_impl(coords, z, scale, shift, spec, active_lods=None):
     decoded = (z @ scale + shift).astype(jnp.float32)
     ld = z.shape[-1]
     both = jnp.concatenate([decoded, z.astype(jnp.float32)], axis=-1)
@@ -353,7 +409,8 @@ def _affine_fwd_impl(coords, z, scale, shift, spec):
     # hashed LODs into one take of [N, K*C] global indices makes XLA pick a
     # sublane-tiled layout for the [N, K, C, W] result with ~20x padding
     # (observed 18 GB HBM for the lego shapes).
-    for lod, res in enumerate(spec.resolutions):
+    for lod in _active(spec, active_lods):
+        res = spec.resolutions[lod]
         first = spec.lod_first_idx[lod]
         size = spec.lod_sizes[lod]
         table = jax.lax.dynamic_slice_in_dim(both, first, size, axis=0)
@@ -370,32 +427,36 @@ def _affine_fwd_impl(coords, z, scale, shift, spec):
     return out, (all_idx, all_w, z_gathered)
 
 
-def _affine_fwd(coords, z, scale, shift, spec):
-    out, res = _affine_fwd_impl(coords, z, scale, shift, spec)
+def _affine_fwd(coords, z, scale, shift, spec, active_lods):
+    out, res = _affine_fwd_impl(coords, z, scale, shift, spec, active_lods)
     all_idx, all_w, z_gathered = res
     return out, (all_idx, all_w, z_gathered, scale, z[:0], shift[:0])
 
 
-def _affine_bwd(spec, residuals, g):
+def _affine_bwd(spec, active_lods, residuals, g):
     from shacira_tpu.ops.pallas_scatter import scatter_add
     all_idx, all_w, z_gathered, scale, z_meta, shift_meta = residuals
-    g = g.astype(jnp.float32)                              # [N, L, F]
+    g = g.astype(jnp.float32)                              # [N, La, F]
     ld = scale.shape[0]
     f = scale.shape[1]
-    grad_z_parts = []
+    grad_z_parts = {}
     grad_scale = jnp.zeros_like(scale, dtype=jnp.float32)
     grad_shift = jnp.zeros((1, f), jnp.float32)
-    for lod in range(spec.num_lods):
-        idx, w = all_idx[lod], all_w[lod]                  # [N, C]
-        gl = g[:, lod, :]                                  # [N, F]
+    for li, lod in enumerate(_active(spec, active_lods)):
+        idx, w = all_idx[li], all_w[li]                    # [N, C]
+        gl = g[:, li, :]                                   # [N, F]
         gz = gl @ scale.astype(jnp.float32).T              # [N, ld]
         upd = (gz[:, None, :] * w[:, :, None]).reshape(-1, ld)
-        grad_z_parts.append(
-            scatter_add(idx.reshape(-1), upd, spec.lod_sizes[lod]))
-        zw = z_gathered[lod] * w[..., None]                # [N, C, ld]
+        grad_z_parts[lod] = scatter_add(idx.reshape(-1), upd,
+                                        spec.lod_sizes[lod])
+        zw = z_gathered[li] * w[..., None]                 # [N, C, ld]
         grad_scale = grad_scale + jnp.einsum('ncl,nf->lf', zw, gl)
         grad_shift = grad_shift + jnp.einsum('nc,nf->f', w, gl)[None]
-    grad_z = jnp.concatenate(grad_z_parts, axis=0).astype(z_meta.dtype)
+    parts = [grad_z_parts.get(lod,
+                              jnp.zeros((spec.lod_sizes[lod], ld),
+                                        jnp.float32))
+             for lod in range(spec.num_lods)]
+    grad_z = jnp.concatenate(parts, axis=0).astype(z_meta.dtype)
     return (None, grad_z, grad_scale.astype(scale.dtype),
             grad_shift.astype(shift_meta.dtype))
 

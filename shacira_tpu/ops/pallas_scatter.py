@@ -83,6 +83,17 @@ def onehot_scatter_add(idx, vals, table_size: int, *, block: int = 16384,
     if table_size * f * 4 > 4 * 1024 * 1024:
         sub_block = min(sub_block, 512 * 1024 // max(1, table_size * f // 2048))
         sub_block = max(1024, sub_block // 1024 * 1024)
+    # scoped-VMEM caps (16 MB limit): the streamed [F, block] f32 input block
+    # at <=2 MB and each [E*F, SUB] one-hot factor at <=2 MB (wide-F callers
+    # like the paged-hash neighborhood reduction hit these; F=1 lego paths
+    # are unaffected)
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    while block > 1024 and f * block * 4 > 2 * 1024 * 1024:
+        block //= 2
+    # SUB must stay a multiple of 1024: Mosaic requires dynamic 1-D load
+    # offsets aligned to the (8,128) tile
+    while sub_block > 1024 and e * f * sub_block * itemsize > 2 * 1024 * 1024:
+        sub_block //= 2
     block = max(block, sub_block)
     block = -(-block // sub_block) * sub_block
     # pad table to a multiple of E

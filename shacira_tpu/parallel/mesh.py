@@ -52,11 +52,32 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """device_put arrays with the batch sharding (first axis must divide)."""
+    """Place arrays with the batch sharding (first axis must divide).
+
+    Single-process: a plain sharded device_put.  Multi-process (after
+    ``multihost.initialize``): every process passes the SAME global-shape
+    array view; each contributes only its :func:`multihost.
+    host_local_batch_slice` rows via ``make_array_from_process_local_data``
+    (the mesh orders devices process-major, so contiguous host slices line
+    up with the device order).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        from shacira_tpu.parallel import multihost
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            sl = multihost.host_local_batch_slice(a.shape[0])
+            out.append(jax.make_array_from_process_local_data(
+                sh, a[sl], a.shape))
+        return tuple(out)
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sh, np.asarray(a), np.shape(a)), tree)
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

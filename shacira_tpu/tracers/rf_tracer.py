@@ -50,6 +50,13 @@ class RFTracerConfig:
     seg_dilation: int = 1          # coarse-cell dilation radius; must cover
                                    # half a segment's length (check with
                                    # validate_segment_cover)
+    # paged-encode path (ops/paged_hash.py): second-stage SEGMENT budget for
+    # field evaluation.  >0 enables grouping: live segments are compacted to
+    # this budget, grouped by coarse cell, the grid encode runs on all their
+    # samples via the paged kernels, and only then are rows compacted to
+    # max_samples for the MLP.  Requires an encode/head-split field.
+    eval_seg_budget: int = 0
+    group_segs_per_block: int = 8  # segments per paged-kernel block
 
 
 def integration_weights(density, deltas, mask):
@@ -286,20 +293,67 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
     samples_s = o_s[:, None, :] + d_s[:, None, :] * depth_s[..., None]
     fine = occ.query(occ_state, occ_cfg, samples_s) & seg_valid[:, None]
 
-    # flat per-row arrays over [k_seg*G]; rows ascend in (ray, depth) order
-    # over the live prefix (stable compaction), as the compact integration
-    # requires
+    # segment-major arrays over [k_seg, G]; segments ascend in (ray, depth)
+    # order over the live prefix (stable compaction), as the compact
+    # integration requires
     return dict(
-        samples=samples_s.reshape(-1, 3),
-        dirs=jnp.broadcast_to(d_s[:, None, :], samples_s.shape).reshape(-1, 3),
-        mask=fine.reshape(-1),
-        depth=depth_s.reshape(-1),
-        deltas=delta_s.reshape(-1),
-        ray=jnp.broadcast_to(r_id[:, None], (k_seg, G)).reshape(-1))
+        samples=samples_s,                                 # [k_seg, G, 3]
+        dirs=jnp.broadcast_to(d_s[:, None, :], samples_s.shape),
+        mask=fine,
+        depth=depth_s,
+        deltas=delta_s,
+        ray=jnp.broadcast_to(r_id[:, None], (k_seg, G)),
+        seg_valid=seg_valid)
+
+
+def _flatten_segs(seg):
+    return dict(
+        samples=seg['samples'].reshape(-1, 3),
+        dirs=seg['dirs'].reshape(-1, 3),
+        mask=seg['mask'].reshape(-1),
+        depth=seg['depth'].reshape(-1),
+        deltas=seg['deltas'].reshape(-1),
+        ray=seg['ray'].reshape(-1))
+
+
+def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
+                 num_rays: int):
+    """Segment-grouped paged trace: second-stage segment compaction,
+    coarse-cell grouping, paged grid encode on all segment rows, then
+    row-level compaction for the MLP head and compact integration."""
+    from shacira_tpu.ops import paged_hash as ph
+
+    g = cfg.segment_size
+    k2 = cfg.eval_seg_budget
+    spb = cfg.group_segs_per_block
+    live = seg['mask'].any(axis=-1)
+    src2, valid2 = _stride_compact(live, k2)
+    take = lambda a: jnp.take(a.reshape(a.shape[0], -1), src2,
+                              axis=0)
+    samples2 = take(seg['samples']).reshape(k2, g, 3)
+    dirs2 = take(seg['dirs']).reshape(k2, g, 3)
+    fine2 = take(seg['mask']).reshape(k2, g) & valid2[:, None]
+    depth2 = take(seg['depth']).reshape(k2, g)
+    delta2 = take(seg['deltas']).reshape(k2, g)
+    ray2 = take(seg['ray']).reshape(k2, g)
+
+    centers01 = samples2[:, g // 2, :] * 0.5 + 0.5
+    n_blocks = k2 // spb + ph.N_CELLS
+    grouping = ph.group_segments(centers01, valid2, spb, n_blocks)
+
+    feats = encode_fn(samples2.reshape(k2 * g, 3), grouping)   # [K2*G, D]
+
+    src_idx, k_valid = _stride_compact(fine2.reshape(-1), cfg.max_samples)
+    color, density = head_fn(jnp.take(feats, src_idx, axis=0),
+                             jnp.take(dirs2.reshape(-1, 3), src_idx, axis=0))
+    return volume_integrate_compact(
+        color, density[..., 0], jnp.take(delta2.reshape(-1), src_idx),
+        jnp.take(depth2.reshape(-1), src_idx), k_valid,
+        jnp.take(ray2.reshape(-1), src_idx), num_rays)
 
 
 def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
-          cfg: RFTracerConfig, rays: Rays, rng):
+          cfg: RFTracerConfig, rays: Rays, rng, encode_split=None):
     """Render rays against a radiance field.
 
     Args:
@@ -307,6 +361,9 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         occ_state/occ_cfg: dense occupancy grid.
         rays: [R] rays.
         rng: key for raymarch jitter.
+        encode_split: optional (encode_fn, head_fn) pair enabling the paged
+            trace (cfg.eval_seg_budget > 0): encode_fn(coords [K*G, 3],
+            grouping) -> feats, head_fn(feats, dirs) -> (rgb, density).
     Returns:
         dict with rgb [R,3], alpha [R,1], depth [R,1], hit [R] (RenderBuffer
         equivalent of the reference, packed_rf_tracer.py:170), plus one
@@ -316,9 +373,13 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
     R = rays.origins.shape[0]
     if (cfg.raymarch_type == 'ray' and cfg.segment_size > 0
             and cfg.max_samples > 0):
-        flat = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays,
-                                    rng)
-        out = _trace_compact_flat(field_fn, flat, cfg.max_samples, R)
+        seg = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays,
+                                   rng)
+        if encode_split is not None and cfg.eval_seg_budget > 0:
+            out = _trace_paged(encode_split[0], encode_split[1], seg, cfg, R)
+        else:
+            out = _trace_compact_flat(field_fn, _flatten_segs(seg),
+                                      cfg.max_samples, R)
     else:
         if cfg.raymarch_type == 'ray':
             m = occ.raymarch_ray(occ_state, occ_cfg, rays, cfg.num_steps, rng)

@@ -145,6 +145,16 @@ class MultiviewTrainer:
             rf_tracer.validate_segment_cover(
                 tracer_cfg, model_cfg.occ_cfg,
                 float(dataset.dist_min), float(dataset.dist_max))
+        if (model_cfg.grid.hash_layout == 'paged'
+                and tracer_cfg.eval_seg_budget > 0):
+            from shacira_tpu.ops import paged_hash as ph
+            # world coords live in [-1,1] -> [0,1] halves distances; the
+            # grouping cell is keyed on the center *sample* (not the exact
+            # midpoint), so allow one extra inter-sample spacing
+            span = float(dataset.dist_max) - float(dataset.dist_min)
+            seg_half01 = span * (tracer_cfg.segment_size / 2 + 1) \
+                / tracer_cfg.num_steps / 2.0
+            ph.validate_paged_cover(model_cfg.grid.spec, seg_half01)
 
     # ------------------------------------------------------------------
     def _raw_step(self, use_sga: bool):
@@ -168,6 +178,7 @@ class MultiviewTrainer:
             rays = make_rays(rays_o, rays_d, dist_min, dist_max)
 
             def loss_fn(p):
+                encode_split = None
                 # fused latent-width backward when the decoder is affine
                 if lg.supports_affine_fusion(gcfg):
                     parts = lg.affine_parts(p['grid'], gcfg, use_sga=use_sga,
@@ -177,6 +188,22 @@ class MultiviewTrainer:
                         return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
                                                   affine=parts,
                                                   lod_mask=lod_mask)
+
+                    # paged-encode split (ops/paged_hash.py): grid encode on
+                    # segment-grouped rows via the block-local MXU kernels
+                    if (gcfg.hash_layout == 'paged'
+                            and tcfg.eval_seg_budget > 0
+                            and tcfg.segment_size > 0):
+                        def encode_fn(coords, grouping):
+                            return nerf_mod.nerf_feats(
+                                p, mcfg, coords, grouping=grouping,
+                                seg_size=tcfg.segment_size, affine=parts,
+                                lod_mask=lod_mask)
+
+                        def head_fn(feats, dirs):
+                            return nerf_mod.nerf_head(p, mcfg, feats, dirs)
+
+                        encode_split = (encode_fn, head_fn)
                 else:
                     decoded = lg.decode_codebook(
                         p['grid'], gcfg, use_sga=use_sga,
@@ -188,7 +215,8 @@ class MultiviewTrainer:
                                                   lod_mask=lod_mask)
 
                 rb = rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
-                                     tcfg, rays, k_march)
+                                     tcfg, rays, k_march,
+                                     encode_split=encode_split)
                 rgb_loss = jnp.mean(jnp.abs(rb['rgb'] - gt))   # L1, ref :105-107
                 loss = cfg.rgb_loss_weight * rgb_loss
                 aux = {'rgb_loss': rgb_loss, 'rgb': rb['rgb']}

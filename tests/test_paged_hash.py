@@ -1,0 +1,225 @@
+"""Paged hash layout: spec indexing, grouping, and kernel exactness.
+
+The paged kernels (ops/paged_hash.py) must reproduce the plain XLA gather
+path evaluated on a spec with ``hash_layout='paged'`` — same model, two
+execution strategies.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shacira_tpu.ops import hashgrid as hg
+from shacira_tpu.ops import paged_hash as ph
+
+
+def _paged_spec(res_list=(32, 48, 81, 128), bw=17):
+    return hg.HashGridSpec(tuple(res_list), bw, 3, hash_layout='paged')
+
+
+def test_paged_params_and_suffix():
+    spec = _paged_spec()
+    non, pag = ph.paged_lods(spec)
+    # res 32, 48 -> 32^3 > 2^13 so hashed... check direct/hashed split
+    for lod, res in enumerate(spec.resolutions):
+        direct = hg.use_direct_index(res, spec.codebook_size, 3)
+        if direct:
+            assert lod in non
+        else:
+            assert lod in pag or res < 2 * hg.PAGE_RES
+    assert tuple(sorted(non + pag)) == tuple(range(spec.num_lods))
+
+
+def test_paged_indexing_in_range_and_spread():
+    spec = _paged_spec()
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (2000, 3)), jnp.float32)
+    cs = spec.codebook_size
+    for res in spec.resolutions:
+        if hg.use_direct_index(res, cs, 3):
+            continue
+        idx, w = hg._lod_corner_indices_and_weights(coords, res, spec)
+        idx = np.asarray(idx)
+        assert idx.min() >= 0 and idx.max() < cs
+        # spatial paging: nearby samples hit few pages
+        _, e = hg.paged_params(res, cs, 3)
+        near = jnp.asarray(rng.uniform(0.1, 0.12, (500, 3)), jnp.float32)
+        idx_n, _ = hg._lod_corner_indices_and_weights(near, res, spec)
+        pages = np.unique(np.asarray(idx_n) // e)
+        assert pages.size <= 8   # tight cluster -> few pages
+        # global occupancy is still spread out
+        assert np.unique(idx // e).size > 100
+
+
+def test_collision_rate_matches_xor_layout():
+    """Paged layout must not collide (statistically) more than XOR."""
+    rng = np.random.default_rng(1)
+    spec_x = hg.HashGridSpec((81,), 17, 3, hash_layout='xor')
+    spec_p = hg.HashGridSpec((81,), 17, 3, hash_layout='paged')
+    coords = jnp.asarray(rng.uniform(-1, 1, (40000, 3)), jnp.float32)
+    stats = {}
+    for name, spec in [('xor', spec_x), ('paged', spec_p)]:
+        idx, _ = hg._lod_corner_indices_and_weights(coords, 81, spec)
+        stats[name] = np.unique(np.asarray(idx)).size
+    # distinct-entry counts within 10% of each other
+    assert abs(stats['xor'] - stats['paged']) / stats['xor'] < 0.1
+
+
+def _fake_segments(rng, k_seg, g, live_frac=0.8, seg_half=0.004):
+    """Segment-structured coords: [k_seg, g, 3] in [-1, 1] + live mask."""
+    centers = rng.uniform(0.02, 0.98, (k_seg, 3))
+    d = rng.normal(size=(k_seg, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = np.linspace(-seg_half, seg_half, g)
+    pts01 = centers[:, None, :] + d[:, None, :] * t[None, :, None]
+    pts01 = np.clip(pts01, 0.0, 1.0)
+    live = rng.uniform(size=(k_seg,)) < live_frac
+    return (jnp.asarray(pts01 * 2.0 - 1.0, jnp.float32),
+            jnp.asarray(centers, jnp.float32), jnp.asarray(live))
+
+
+def test_group_segments_invariants():
+    rng = np.random.default_rng(2)
+    k_seg, g, spb = 300, 4, 8
+    coords, centers, live = _fake_segments(rng, k_seg, g)
+    n_blocks = -(-k_seg // spb) + ph.N_CELLS
+    grp = ph.group_segments(centers, live, spb, n_blocks)
+    s2s = np.asarray(grp['slotseg_to_seg'])
+    seg2slot = np.asarray(grp['seg_to_slotseg'])
+    bcell = np.asarray(grp['block_cell'])
+    live_np = np.asarray(live)
+    # every live segment occupies exactly one slot; mutual inverses
+    for s in range(k_seg):
+        if live_np[s]:
+            slot = seg2slot[s]
+            assert slot < s2s.size and s2s[slot] == s
+        else:
+            assert seg2slot[s] == s2s.size
+    # slots in a block agree with the block's cell
+    c = np.clip(np.floor(np.asarray(centers) * ph.GROUP_RES), 0,
+                ph.GROUP_RES - 1).astype(int)
+    cell = (c[:, 0] * 8 + c[:, 1]) * 8 + c[:, 2]
+    for slot, s in enumerate(s2s):
+        if s < k_seg:
+            assert bcell[slot // spb] == cell[s]
+    # pad blocks map to the sentinel cell
+    assert all(bc == ph.N_CELLS for i, bc in enumerate(bcell)
+               if all(x == k_seg for x in s2s[i * spb:(i + 1) * spb]))
+
+
+def test_permute_rows_roundtrip_and_grad():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(10, 4)), jnp.float32)
+    perm = jnp.asarray([3, 1, 10, 0, 2, 10], jnp.int32)   # 10 = sentinel
+    inv = jnp.asarray([3, 1, 4, 0, 6, 6, 6, 6, 6, 6], jnp.int32)
+    y = ph.permute_rows(x, perm, inv, 6)
+    np.testing.assert_allclose(y[0], x[3])
+    np.testing.assert_allclose(y[2], 0.0)
+    g = jax.grad(lambda x: jnp.sum(ph.permute_rows(x, perm, inv, 6)
+                                   * jnp.arange(24.0).reshape(6, 4)))(x)
+    # row 3 of x went to slot 0 -> gradient = weights of slot 0
+    np.testing.assert_allclose(g[3], jnp.arange(4.0))
+    np.testing.assert_allclose(g[4], 0.0)   # never selected
+
+
+@pytest.mark.parametrize('ld', [1, 2])
+def test_paged_interp_matches_xla_reference(ld):
+    """Kernel (interpret mode, f32) == plain gather on the paged spec."""
+    rng = np.random.default_rng(4)
+    spec = _paged_spec((48, 81, 128), bw=17)
+    _, pag = ph.paged_lods(spec)
+    assert len(pag) >= 2
+    k_seg, g, spb = 200, 4, 4
+    coords, centers, live = _fake_segments(rng, k_seg, g)
+    n_blocks = -(-k_seg // spb) + ph.N_CELLS
+    grp = ph.group_segments(centers, live, spb, n_blocks)
+    ns = grp['slotseg_to_seg'].shape[0] * g
+
+    z = jnp.asarray(rng.normal(size=(spec.total_size, ld)), jnp.float32)
+
+    # build slot coords from segment rows
+    rows = coords.reshape(k_seg, g * 3)
+    safe = jnp.minimum(grp['slotseg_to_seg'], k_seg - 1)
+    slot_rows = jnp.take(rows, safe, axis=0)
+    slot_valid_seg = grp['slotseg_to_seg'] < k_seg
+    coords_s = jnp.where(slot_valid_seg[:, None], slot_rows, 0.0)
+    coords_s = coords_s.reshape(ns, 3)
+    slot_valid = jnp.repeat(slot_valid_seg, g)
+
+    static = ph.PagedStatic(spec=spec, lods=pag, interpret=True,
+                            use_bf16=False)
+    out = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
+                               grp['cell_used'], z, static)
+
+    ref_all = hg.hash_encode(coords_s, z, spec)       # [NS, L, ld]
+    ref = ref_all[:, pag, :] * slot_valid[:, None, None]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients: same loss through both paths -> same grad_z on paged ranges
+    r = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+
+    def loss_kernel(z):
+        o = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
+                                 grp['cell_used'], z, static)
+        return jnp.sum(o * r)
+
+    def loss_ref(z):
+        o = hg.hash_encode(coords_s, z, spec)[:, pag, :]
+        o = o * slot_valid[:, None, None]
+        return jnp.sum(o * r)
+
+    gk = jax.grad(loss_kernel)(z)
+    gr = jax.grad(loss_ref)(z)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_paged_trainer_matches_xor_end_to_end():
+    """MultiviewTrainer with hash_layout='paged' + eval_seg_budget trains and
+    lands within noise of the same config on the plain path (different hash
+    function, so exact equality is not expected — only healthy convergence)."""
+    from tests.test_nerf import synthetic_scene
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+    from shacira_tpu.tracers.rf_tracer import RFTracerConfig
+
+    def build(hash_layout, eval_seg_budget):
+        ds = synthetic_scene(num_views=6, res=40)
+        grid = LatentGridConfig.from_geometric(
+            feature_dim=2, num_lods=6, min_grid_res=16, max_grid_res=64,
+            latent_dim=1, multiscale_type='cat', resolution_dim=3,
+            feature_std=0.1, codebook_bitwidth=17, init_grid='normal',
+            hash_layout=hash_layout,
+        ).with_ldec(dict(norm='max', ldecode_matrix='sq', use_shift=True,
+                         ldec_std=0.1))
+        mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=16,
+                                         num_layers=1, blas_level=4,
+                                         prune_min_density=1.0)
+        tcfg = MultiviewTrainerConfig(epochs=2, lr=1e-3, grid_lr=2e-2,
+                                      chunk_size=10, log_every=-1,
+                                      prune_every=-1)
+        trcfg = RFTracerConfig(num_steps=1024, max_samples=4096,
+                               segment_size=8, seg_budget=2048,
+                               coarse_level=4,
+                               eval_seg_budget=eval_seg_budget,
+                               group_segs_per_block=4)
+        return MultiviewTrainer(tcfg, mcfg, trcfg, ds, num_rays=256, seed=0)
+
+    psnrs = {}
+    for layout, budget in [('paged', 512), ('xor', 0)]:
+        t = build(layout, budget)
+        t.train(num_iterations=40)
+        psnrs[layout] = t.evaluate(view_indices=[0])['psnr']
+    assert np.isfinite(psnrs['paged']) and psnrs['paged'] > 10, psnrs
+    assert abs(psnrs['paged'] - psnrs['xor']) < 2.0, psnrs
+
+
+def test_validate_paged_cover():
+    spec = _paged_spec((32, 128), bw=17)
+    ph.validate_paged_cover(spec, seg_half01=0.01)     # fine
+    with pytest.raises(ValueError):
+        ph.validate_paged_cover(spec, seg_half01=0.1)  # too long at res 32
