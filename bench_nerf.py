@@ -25,6 +25,7 @@ def main():
     iters = 30
     if '--iters' in sys.argv:
         iters = int(sys.argv[sys.argv.index('--iters') + 1])
+    paged = '--paged' in sys.argv
 
     data = synthetic_scene(num_views=20, res=64)
     grid = LatentGridConfig.from_geometric(
@@ -32,6 +33,7 @@ def main():
         latent_dim=1, multiscale_type='cat', resolution_dim=3,
         feature_std=0.02, codebook_bitwidth=19, init_grid='normal',
         num_prob_layers=1, entropy_enabled=True,
+        hash_layout='paged' if paged else 'xor',
     ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
                      ldec_std=0.1, use_sga=True, diff_sampling=True))
     mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=128, num_layers=1,
@@ -40,7 +42,8 @@ def main():
     tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
                                     bg_color='white', max_samples=262144,
                                     segment_size=16, coarse_level=5,
-                                    seg_dilation=1)
+                                    seg_dilation=1,
+                                    eval_seg_budget=24576 if paged else 0)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  use_sga=True, temperature=1.0,
                                  entropy_reg=1e-4, entropy_reg_end=1e-4)
@@ -59,7 +62,9 @@ def main():
         'unit': 'rays/s',
         'config': 'lego-shaped: 24 LODs bw19 F4, ray-march 2048 steps, '
                   '4096 rays/iter, 262144-sample budget, 16-sample '
-                  'segment culling',
+                  'segment culling'
+                  + (', paged encode (24576-segment eval budget)'
+                     if paged else ''),
     }))
 
 

@@ -348,7 +348,9 @@ def build_nerf_trainer_config(args):
         prune_every=args.prune_every, random_lod=args.random_lod,
         adaptive_budget=args.adaptive_budget,
         budget_headroom=args.budget_headroom, min_budget=args.min_budget,
-        chunk_size=args.chunk_size, log_every=args.log_every)
+        chunk_size=args.chunk_size, log_every=args.log_every,
+        valid_every=args.valid_every, save_every=args.save_every,
+        render_tb_every=args.render_tb_every)
 
 
 def build_tracer_config(args):

@@ -100,3 +100,68 @@ def from_mesh(path_or_arrays, num_samples: int = 100000, batch_size: int = 4096,
     coords = np.concatenate(pts)
     sdf = mesh_ops.points_to_sdf(coords, verts, faces)
     return SDFDataset(coords, sdf, batch_size, seed)
+
+
+def from_octree_narrowband(path_or_arrays, level: int = 6,
+                           samples_per_voxel: int = 32,
+                           num_samples: Optional[int] = 100000,
+                           batch_size: int = 4096,
+                           modes: Sequence[str] = ('rand', 'rand', 'near',
+                                                   'near', 'trace'),
+                           seed: int = 0) -> SDFDataset:
+    """Narrowband SDF pool limited to occupied octree cells
+    (ref OctreeSampledSDFDataset, octree_sdf_dataset.py:20-169).
+
+    The mesh surface is quantized into a sparse octree at ``level``;
+    'rand' samples are drawn uniformly inside each occupied leaf cell
+    (``samples_per_voxel`` each — the reference's ``sample_spc``),
+    'near'/'trace' samples come from the surface, and every candidate that
+    falls into an empty octree cell is dropped (the narrowband filter,
+    ref :127-129).  The resulting (coords, sdf) pool is cached;
+    :meth:`SDFDataset.resample` subsamples ``num_samples`` working sets.
+    """
+    from shacira_tpu.ops import spc as spc_ops
+    if isinstance(path_or_arrays, str):
+        verts, faces = mesh_ops.load_obj(path_or_arrays)
+    else:
+        verts, faces = path_or_arrays
+    verts = mesh_ops.normalize_mesh(verts)
+    rng = np.random.RandomState(seed)
+
+    # octree from a dense surface sampling (blas 'initialized from a mesh')
+    surf = mesh_ops.sample_surface(rng, verts, faces,
+                                   max(20000, 8 ** level))
+    octree = spc_ops.Octree.from_pointcloud(surf, level)
+    corners = octree.points(level)                       # [M, 3] int cells
+    res = 2 ** level
+
+    pts = []
+    n_rand_ref = None
+    for mode in modes:
+        if mode == 'rand':
+            # uniform inside each occupied leaf (ref sample_spc)
+            u = rng.rand(len(corners), samples_per_voxel, 3)
+            p = (corners[:, None, :] + u) / res * 2.0 - 1.0
+            p = p.reshape(-1, 3).astype(np.float32)
+            pts.append(p)
+            n_rand_ref = len(p)
+        elif mode in ('near', 'trace'):
+            n = n_rand_ref or samples_per_voxel * max(1, len(corners))
+            s = mesh_ops.sample_surface(rng, verts, faces, n)
+            if mode == 'near':
+                # ref variance 1 / 2**level (octree_sdf_dataset.py:119)
+                s = s + rng.randn(*s.shape).astype(np.float32) / res
+            pts.append(np.clip(s, -1, 1).astype(np.float32))
+        else:
+            raise ValueError(mode)
+    coords = np.concatenate(pts)
+
+    # narrowband filter: drop candidates in empty octree cells (ref :127-129)
+    cells = spc_ops.quantize_points(coords, level)
+    codes = octree.level_codes[level]
+    idx = np.searchsorted(codes, spc_ops.morton3d_np(cells.astype(np.uint64)))
+    idx = np.clip(idx, 0, len(codes) - 1)
+    hit = codes[idx] == spc_ops.morton3d_np(cells.astype(np.uint64))
+    coords = coords[hit]
+    sdf = mesh_ops.points_to_sdf(coords, verts, faces)
+    return SDFDataset(coords, sdf, batch_size, seed, num_samples=num_samples)

@@ -168,3 +168,42 @@ def test_sdf_render_shading_modes():
     assert np.isfinite(img_s).all()
     # ground plane fills previously-background corners
     assert img_s[0, 0].sum() > 0 or img_s[47, 47].sum() > 0
+
+
+def test_octree_narrowband_dataset():
+    """from_octree_narrowband: all pool samples lie in occupied octree cells,
+    rand samples respect per-voxel counts, resample() subsamples the pool."""
+    from shacira_tpu.datasets import sdf as sdf_ds
+    from shacira_tpu.ops import spc as spc_ops
+    v = np.asarray([[x, y, z] for x in (-.5, .5) for y in (-.5, .5)
+                    for z in (-.5, .5)], np.float32)
+    f = np.asarray([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+    ], np.int32)
+    level = 4
+    ds = sdf_ds.from_octree_narrowband(
+        (v, f), level=level, samples_per_voxel=8, num_samples=512,
+        batch_size=128, seed=0)
+    # pool is narrowband: every sample's cell is occupied at the level
+    # (normalize_mesh rescales the cube, so rebuild the octree identically)
+    verts = __import__('shacira_tpu.ops.mesh', fromlist=['x']).normalize_mesh(v)
+    rng = np.random.RandomState(0)
+    surf = __import__('shacira_tpu.ops.mesh', fromlist=['x']).sample_surface(
+        rng, verts, f, max(20000, 8 ** level))
+    octree = spc_ops.Octree.from_pointcloud(surf, level)
+    occ = octree.occupancy_mask(level)
+    cells = spc_ops.quantize_points(ds.pool_coords, level)
+    assert occ[cells[:, 0], cells[:, 1], cells[:, 2]].all()
+    # narrowband pool is much smaller than an unfiltered uniform pool would be
+    assert ds.pool_size > 1000
+    # working-set semantics
+    assert len(ds.coords) == 512 and ds.pool_size > 512
+    before = ds.coords.copy()
+    ds.resample()
+    assert not np.array_equal(before, ds.coords)
+    cb, sb = ds.batch()
+    assert cb.shape == (128, 3) and sb.shape == (128, 1)
+    # sdf values near zero band (cells touch the surface)
+    assert np.percentile(np.abs(ds.pool_sdf), 90) < 0.2
