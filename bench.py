@@ -19,7 +19,7 @@ import numpy as np
 A100_REF_MPIX_S = 16.0
 
 
-def main():
+def measure_image():
     import jax
     from shacira_tpu.datasets.image import ImageDataset
     from shacira_tpu.models.grids.latent_grid import LatentGridConfig
@@ -67,12 +67,25 @@ def main():
     dt = time.time() - t0
 
     mpix_s = (h * w * n_steps) / dt / 1e6
-    print(json.dumps({
+    return {
         'metric': 'image_inr_train_mpix_per_s',
         'value': round(mpix_s, 2),
         'unit': 'Mpix/s',
         'vs_baseline': round(mpix_s / A100_REF_MPIX_S, 3),
-    }))
+    }
+
+
+def main():
+    """Headline: NeRF lego-config training rays/s (paged encode path) — the
+    framework's tightest perf target (BASELINE.md: >=3x A100 Wisp).  The
+    image-INR throughput rides along in ``extra``."""
+    import bench_nerf
+    nerf = bench_nerf.measure(paged=True)
+    image = measure_image()
+    out = dict(nerf)
+    out['extra'] = {'image_mpix_per_s': image['value'],
+                    'image_vs_baseline': image['vs_baseline']}
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -12,7 +12,15 @@ import time
 import numpy as np
 
 
-def main():
+# A100 Wisp-reference estimate (the reference publishes no numbers,
+# BASELINE.md): wisp trains lego 300 epochs x 100 views = 30K iterations of
+# 4096 rays; on an A100 the torch+CUDA stack plausibly sustains ~20 iter/s
+# with SHACIRA's latent-decode/entropy overhead (~25 min total) ->
+# ~80K rays/s.  The >=3x north star is therefore ~245K rays/s/chip.
+A100_REF_RAYS_S = 80000.0
+
+
+def measure(paged: bool = True, iters: int = 30):
     import jax
     sys.path.insert(0, 'tests')
     from test_nerf import synthetic_scene
@@ -22,10 +30,6 @@ def main():
     from shacira_tpu.trainers.multiview_trainer import (
         MultiviewTrainer, MultiviewTrainerConfig)
 
-    iters = 30
-    if '--iters' in sys.argv:
-        iters = int(sys.argv[sys.argv.index('--iters') + 1])
-    paged = '--paged' in sys.argv
 
     data = synthetic_scene(num_views=20, res=64)
     grid = LatentGridConfig.from_geometric(
@@ -56,16 +60,25 @@ def main():
     np.asarray(tr.params['grid']['codebook'][0:1])
     dt = time.time() - t0
     rays_s = 4096 * iters / dt
-    print(json.dumps({
+    return {
         'metric': 'nerf_train_rays_per_s',
         'value': round(rays_s, 1),
         'unit': 'rays/s',
+        'vs_baseline': round(rays_s / A100_REF_RAYS_S, 3),
         'config': 'lego-shaped: 24 LODs bw19 F4, ray-march 2048 steps, '
                   '4096 rays/iter, 262144-sample budget, 16-sample '
                   'segment culling'
                   + (', paged encode (24576-segment eval budget)'
                      if paged else ''),
-    }))
+    }
+
+
+def main():
+    iters = 30
+    if '--iters' in sys.argv:
+        iters = int(sys.argv[sys.argv.index('--iters') + 1])
+    paged = '--paged' in sys.argv
+    print(json.dumps(measure(paged=paged, iters=iters)))
 
 
 if __name__ == '__main__':

@@ -131,11 +131,57 @@ def _torch_linear_init(key, din, dout, bias):
     return p
 
 
-def mlp_init(rng, cfg: MLPConfig):
+def mlp_init(rng, cfg: MLPConfig, weight_init: str = 'none'):
+    """``weight_init``: post-transform applied to each layer's weight after
+    the torch-default draw — 'none' | 'orthonormal' | 'svd' | 'spectral' |
+    'identity' (ref basic_decoders.py:142-192 initialize() helpers)."""
     dims = cfg.layer_dims()
     keys = jax.random.split(rng, len(dims))
-    return {'layers': [_torch_linear_init(k, din, dout, cfg.bias)
-                       for k, (din, dout) in zip(keys, dims)]}
+    layers = [_torch_linear_init(k, din, dout, cfg.bias)
+              for k, (din, dout) in zip(keys, dims)]
+    if weight_init != 'none':
+        fn = WEIGHT_INITS[weight_init]
+        for i, layer in enumerate(layers):
+            layer['w'] = fn(keys[i], layer['w'])
+    return {'layers': layers}
+
+
+# -- weight-init transforms (ref basic_decoders.py:142-192) -----------------
+
+def init_orthonormal(key, w):
+    """Random orthonormal matrix of w's shape (ref orthonormal, :142-154)."""
+    n = max(w.shape)
+    a = jax.random.normal(key, (n, n))
+    q, r = jnp.linalg.qr(a)
+    # sign-correct so Q is Haar-distributed (scipy ortho_group semantics)
+    q = q * jnp.sign(jnp.diagonal(r))[None, :]
+    return q[:w.shape[0], :w.shape[1]].astype(w.dtype)
+
+
+def init_svd(key, w):
+    """Replace w with U @ V^T of its SVD — the nearest orthogonal matrix
+    (ref svd, :156-166)."""
+    u, _, vt = jnp.linalg.svd(w, full_matrices=False)
+    return (u @ vt).astype(w.dtype)
+
+
+def init_spectral(key, w):
+    """Scale w to unit spectral norm (ref spectral_normalization, :168-178)."""
+    s = jnp.linalg.svd(w, compute_uv=False)
+    return (w / s.max()).astype(w.dtype)
+
+
+def init_identity(key, w):
+    """Identity (zero-padded when rectangular; ref identity, :180-192)."""
+    return jnp.eye(w.shape[0], w.shape[1], dtype=w.dtype)
+
+
+WEIGHT_INITS = {
+    'orthonormal': init_orthonormal,
+    'svd': init_svd,
+    'spectral': init_spectral,
+    'identity': init_identity,
+}
 
 
 def mlp_apply(params, cfg: MLPConfig, x):

@@ -84,3 +84,31 @@ def test_perf_timer():
     assert 'b' in t.summary()
     with named_range('scope'):
         _ = jnp.sum(x)
+
+
+def test_mlp_weight_init_transforms():
+    """Weight-init transforms (ref basic_decoders.py:142-192): orthonormal/svd
+    give orthogonal matrices, spectral gives unit top singular value,
+    identity gives eye."""
+    import jax
+    import jax.numpy as jnp
+    from shacira_tpu.models import mlp as mlp_mod
+    key = jax.random.PRNGKey(0)
+    for name in ('orthonormal', 'svd', 'spectral', 'identity'):
+        cfg = mlp_mod.MLPConfig(input_dim=8, output_dim=4, hidden_dim=16,
+                                num_layers=2)
+        params = mlp_mod.mlp_init(key, cfg, weight_init=name)
+        for layer in params['layers']:
+            w = np.asarray(layer['w'])
+            assert np.isfinite(w).all()
+            if name in ('orthonormal', 'svd'):
+                m = w @ w.T if w.shape[0] <= w.shape[1] else w.T @ w
+                np.testing.assert_allclose(m, np.eye(m.shape[0]), atol=1e-5)
+            elif name == 'spectral':
+                s = np.linalg.svd(w, compute_uv=False)
+                np.testing.assert_allclose(s.max(), 1.0, atol=1e-5)
+            else:
+                np.testing.assert_allclose(w, np.eye(*w.shape), atol=0)
+    # output still flows
+    out = mlp_mod.mlp_apply(params, cfg, jnp.ones((3, 8)))
+    assert out.shape == (3, 4)
