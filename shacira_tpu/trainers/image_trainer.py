@@ -74,6 +74,11 @@ class ImageTrainerConfig:
     resample_every: int = 1
     # execution
     chunk_size: int = 500            # scan steps per device dispatch
+    # sampled modes: draw batch indices ON DEVICE from an HBM-resident image
+    # (TPU-native; avoids host presampling + per-chunk host->device batch
+    # transfers, which dominate wreplace/woreplace throughput through a
+    # remote relay).  Falls back to host batches when False.
+    device_sampling: bool = True
     # logging / lifecycle (ref base_trainer.py:334,377-443)
     log_every: int = 1000
     valid_every: int = -1            # epochs between full-image validations
@@ -272,6 +277,60 @@ class ImageTrainer:
         self._fns[key] = fn
         return fn
 
+    def _get_device_chunk_fn(self, use_sga: bool, mode: str):
+        """Chunked scan with ON-DEVICE batch sampling (sampled modes).
+
+        The full image lives in HBM ([P, 3] loop invariant); each scan step
+        draws its pixel indices on device — 'wreplace' from the step RNG,
+        'woreplace'/'sequential' as a dynamic slice of a device-resident
+        permutation at ``x['sample_base']`` (dynamic_slice clamps the start,
+        so tail batches overlap the previous batch instead of padding).
+        No per-step host arrays, no host->device batch traffic.
+        """
+        key = ('dev_chunk', use_sga, mode)
+        if key in self._fns:
+            return self._fns[key]
+        step = self._raw_step(use_sga)
+        h, w = self.dataset.h, self.dataset.w
+        p_total = self.dataset.num_pixels
+        ns = self.dataset.num_samples
+
+        def run_chunk(params, opt_state, noise, best_loss, best_psnr,
+                      best_params, img_flat, perm, xs):
+            def body(carry, x):
+                params, opt_state, noise, best_loss, best_psnr, best_params = carry
+                k_batch, k_step = jax.random.split(x['rng'])
+                if mode == 'wreplace':
+                    idx = jax.random.randint(k_batch, (ns,), 0, p_total)
+                else:
+                    idx = jax.lax.dynamic_slice(perm, (x['sample_base'],),
+                                                (ns,))
+                rr = (idx // w).astype(jnp.float32)
+                cc = (idx % w).astype(jnp.float32)
+                coords = jnp.stack([(rr / h - 0.5) * 2.0,
+                                    (cc / w - 0.5) * 2.0], axis=-1)
+                gt = jnp.take(img_flat, idx, axis=0)
+                params, opt_state, noise, metrics = step(
+                    params, opt_state, noise, coords, gt, None, k_step,
+                    x['ent_lambda'], x['temperature'], x['lr_ldec'],
+                    x['do_recalib'], x['refresh_noise'], x['lod_mask'])
+                better = metrics['rgb_loss'] < best_loss
+                best_loss = jnp.where(better, metrics['rgb_loss'], best_loss)
+                best_psnr = jnp.where(better, metrics['psnr'], best_psnr)
+                best_params = jax.tree.map(
+                    lambda new, old: jnp.where(better, new, old), params,
+                    best_params)
+                return (params, opt_state, noise, best_loss, best_psnr,
+                        best_params), metrics
+
+            return jax.lax.scan(
+                body, (params, opt_state, noise, best_loss, best_psnr,
+                       best_params), xs)
+
+        fn = jax.jit(run_chunk, donate_argnums=(0, 1, 2, 3, 4, 5))
+        self._fns[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
     def _schedule_arrays(self, e0: int, n: int, epochs=None, iters=None):
         cfg = self.cfg
@@ -439,6 +498,21 @@ class ImageTrainer:
         total = epochs * batches_per_epoch
         t0 = time.time()
         done = 0
+        use_device = (cfg.device_sampling and self.mesh is None
+                      and ds.sample_mode in ('wreplace', 'woreplace',
+                                             'sequential'))
+        if use_device and not hasattr(self, '_dev_img'):
+            # HBM-resident image + batch permutation (device sampling).  For
+            # 'woreplace'/'sequential' the dataset's shuffle_idx is the
+            # permutation, so batch contents match the host path exactly
+            # (except tail batches: dynamic_slice clamps the start, so the
+            # tail overlaps the previous batch instead of repeating the
+            # batch head).  'wreplace' draws from the jax PRNG instead of
+            # the dataset's numpy stream (same distribution).
+            self._dev_img = jnp.asarray(ds.rgb)
+            self._dev_perm = (jnp.asarray(ds.shuffle_idx, jnp.int32)
+                              if ds.shuffle_idx is not None
+                              else jnp.zeros((1,), jnp.int32))
         self._resampled_epoch = getattr(self, '_resampled_epoch', 1)
         while done < total:
             e0 = self.epoch + 1
@@ -446,6 +520,8 @@ class ImageTrainer:
                     and hasattr(ds, 'resample')
                     and (e0 - 1) % max(1, cfg.resample_every) == 0):
                 ds.resample()
+                if use_device and ds.shuffle_idx is not None:
+                    self._dev_perm = jnp.asarray(ds.shuffle_idx, jnp.int32)
                 self._resampled_epoch = e0
             use_sga = self._use_sga_at(e0)
             n = min(max(1, cfg.chunk_size), total - done)
@@ -465,22 +541,32 @@ class ImageTrainer:
             xs = self._schedule_arrays(0, n, epochs=ep, iters=iters)
             self.rng, k = jax.random.split(self.rng)
             xs['rng'] = jax.random.split(k, n)
-            bc = np.empty((n, ds.num_samples, 2), np.float32)
-            bg = np.empty((n, ds.num_samples, 3), np.float32)
-            for i in range(n):
-                c, g = ds.batch((done + i) % batches_per_epoch)
-                if c.shape[0] < ds.num_samples:   # pad tail batches
-                    pad = ds.num_samples - c.shape[0]
-                    c = np.concatenate([c, c[:pad]])
-                    g = np.concatenate([g, g[:pad]])
-                bc[i], bg[i] = c, g
-            xs['coords'] = jnp.asarray(bc)
-            xs['gt'] = jnp.asarray(bg)
+            if use_device:
+                base = (((iters - 1) % batches_per_epoch)
+                        * ds.num_samples).astype(np.int32)
+                xs['sample_base'] = jnp.asarray(base)
+                run = self._get_device_chunk_fn(use_sga, ds.sample_mode)
+                carry, metrics = run(self.params, self.opt_state, self.noise,
+                                     self.best_loss, self.best_psnr,
+                                     self.best_params, self._dev_img,
+                                     self._dev_perm, xs)
+            else:
+                bc = np.empty((n, ds.num_samples, 2), np.float32)
+                bg = np.empty((n, ds.num_samples, 3), np.float32)
+                for i in range(n):
+                    c, g = ds.batch((done + i) % batches_per_epoch)
+                    if c.shape[0] < ds.num_samples:   # pad tail batches
+                        pad = ds.num_samples - c.shape[0]
+                        c = np.concatenate([c, c[:pad]])
+                        g = np.concatenate([g, g[:pad]])
+                    bc[i], bg[i] = c, g
+                xs['coords'] = jnp.asarray(bc)
+                xs['gt'] = jnp.asarray(bg)
 
-            run = self._get_chunk_fn(use_sga)
-            carry, metrics = run(self.params, self.opt_state, self.noise,
-                                 self.best_loss, self.best_psnr, self.best_params,
-                                 None, None, None, xs)
+                run = self._get_chunk_fn(use_sga)
+                carry, metrics = run(self.params, self.opt_state, self.noise,
+                                     self.best_loss, self.best_psnr,
+                                     self.best_params, None, None, None, xs)
             (self.params, self.opt_state, self.noise,
              self.best_loss, self.best_psnr, self.best_params) = carry
             prev_epoch = self.epoch

@@ -128,7 +128,7 @@ def test_sampled_chunks_cover_whole_permutation():
     orig = ds.batch
     ds.batch = lambda i: (seen.append(i), orig(i))[1]
     cfg = ImageTrainerConfig(epochs=2, log_every=-1, entropy_reg=0.0,
-                             chunk_size=3)
+                             chunk_size=3, device_sampling=False)
     trainer = ImageTrainer(cfg, make_model_cfg(compressed=False), ds, seed=0)
     trainer.train(finalize=False)
     assert sorted(set(seen)) == list(range(batches)), sorted(set(seen))
@@ -137,6 +137,29 @@ def test_sampled_chunks_cover_whole_permutation():
     assert seen[:batches] != sorted(seen[:batches]) or True  # order free
     for b in range(batches):
         assert seen.count(b) == 2
+
+
+def test_device_sampling_matches_host_batches():
+    """Device-side sampling (image resident in HBM, indices drawn on device)
+    must reproduce the host path's batch contents for 'woreplace': the device
+    slice of ``shuffle_idx`` equals ``ds.batch(i)``."""
+    ds = ImageDataset(tiny_image(), num_samples=96, sample_mode='woreplace')
+    for i in range(3):
+        c_host, g_host = ds.batch(i)
+        idx = ds.shuffle_idx[i * 96:(i + 1) * 96]
+        np.testing.assert_allclose(index_to_coords(idx, 24, 32), c_host,
+                                   atol=1e-6)
+        np.testing.assert_array_equal(ds.rgb[idx], g_host)
+
+
+def test_device_sampling_engages_and_converges():
+    """Default sampled path draws batches on device (no host presampling)."""
+    ds = ImageDataset(tiny_image(), num_samples=200, sample_mode='woreplace')
+    cfg = ImageTrainerConfig(epochs=120, log_every=-1, chunk_size=100)
+    trainer = ImageTrainer(cfg, make_model_cfg(compressed=False), ds, seed=0)
+    out = trainer.train()
+    assert hasattr(trainer, '_dev_img'), 'device sampling path not engaged'
+    assert out['PSNR'] > 14, out
 
 
 def test_resample_fires_once_per_epoch():
