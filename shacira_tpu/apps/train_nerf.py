@@ -153,10 +153,20 @@ def render_turntable(trainer, args, num_angles: int = 8, res: int = 256):
     def trace_fn(rays, k):
         return _trace(trainer.params, decoded, trainer.occ_state, rays, k)
 
+    layers = None
+    if getattr(args, 'overlay_layers', False):
+        from shacira_tpu.core.primitives import axes_gizmo, occupancy_wireframe
+        layers = {
+            'occupancy': occupancy_wireframe(
+                np.asarray(trainer.occ_state['occ']), max_cells=2048),
+            'axes': axes_gizmo(0.5),
+        }
+
     origin = np.asarray(args.camera_origin, np.float32)
     radius = float(np.linalg.norm(origin[[0, 2]]))
     return list(offline.turntable(trace_fn, cam, num_angles=num_angles,
-                                  radius=radius, elevation=float(origin[1])))
+                                  radius=radius, elevation=float(origin[1]),
+                                  layers=layers))
 
 
 if __name__ == '__main__':

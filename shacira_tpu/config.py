@@ -175,6 +175,9 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument('--render-batch', type=int, default=4096)
     g.add_argument('--render-res', type=int, nargs=2, default=[1024, 1024])
     g.add_argument('--camera-origin', type=float, nargs=3, default=[-3.0, 0.65, -3.0])
+    # composite debug data layers (occupancy wireframe + axes gizmo) over the
+    # turntable frames (ref active-data-layer painting, wisp_app.py:451)
+    g.add_argument('--overlay-layers', type=_bool, default=False)
     return parser
 
 

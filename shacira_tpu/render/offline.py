@@ -79,16 +79,28 @@ def render_rays(trace_fn: Callable, rays_o: np.ndarray, rays_d: np.ndarray,
 
 def turntable(trace_fn: Callable, cfg: CameraConfig, num_angles: int = 16,
               radius: float = 3.0, elevation: float = 0.65,
-              target=(0.0, 0.0, 0.0), rng=None):
+              target=(0.0, 0.0, 0.0), rng=None, layers=None):
     """360-degree turntable frames (ref render_final_view,
-    multiview_trainer.py:237-273).  Yields [H, W, 3] frames."""
+    multiview_trainer.py:237-273).  Yields [H, W, 3] frames.
+
+    ``layers`` ({name: PrimitivesPack}) are composited over each frame with
+    the frame's depth buffer (the reference's active-data-layer painting,
+    wisp_app.py:451)."""
     for a in range(num_angles):
         theta = 2 * np.pi * a / num_angles
         origin = np.asarray([radius * np.cos(theta), elevation,
                              radius * np.sin(theta)], np.float32)
         ro, rd = lookat_rays(origin, target, cfg)
         out = render_rays(trace_fn, ro, rd, cfg, rng=rng)
-        yield out['rgb'].reshape(cfg.height, cfg.width, 3)
+        frame = out['rgb'].reshape(cfg.height, cfg.width, 3)
+        if layers:
+            from shacira_tpu.render.overlay import PinholeCamera, draw_layers
+            cam = PinholeCamera.from_lookat(origin, target, cfg)
+            depth = out.get('depth')
+            if depth is not None:
+                depth = depth.reshape(cfg.height, cfg.width)
+            frame = draw_layers(frame, cam, layers, depth=depth)
+        yield frame
 
 
 def save_gif(frames, path: str, fps: int = 10):
