@@ -122,6 +122,46 @@ def test_web_viewer_http_roundtrip():
         v.shutdown()
 
 
+def test_web_viewer_quality_layers_and_lookat():
+    """New control surface: arbitrary lookat cameras, the reduced-resolution
+    quality knob, and server-side data-layer compositing."""
+    import urllib.request
+    from shacira_tpu.core import colors
+    from shacira_tpu.core.primitives import PrimitivesPack
+    from shacira_tpu.render.web_viewer import ViewerServer
+    from shacira_tpu.render.offline import CameraConfig
+
+    def trace_fn(rays, key):
+        return {'rgb': jnp.zeros_like(rays.origins),
+                'depth': jnp.full((rays.origins.shape[0], 1), 9.0)}
+
+    pack = PrimitivesPack()
+    pack.add_lines([-0.5, 0.0, 0.0], [0.5, 0.0, 0.0], colors.red)
+    v = ViewerServer(trace_fn, CameraConfig(width=32, height=32),
+                     port=18924, layers={'l': pack})
+    plain = v.render_frame_at((0, 0, 3), (0, 0, 0))
+    assert plain.shape == (32, 32, 3) and not np.any(plain > 0)
+    over = v.render_frame_at((0, 0, 3), (0, 0, 0), with_layers=True)
+    assert np.any(over[:, :, 0] > 0.5)
+    half = v.render_frame_at((0, 0, 3), (0, 0, 0), scale=0.5)
+    assert half.shape == (16, 16, 3)
+    # reduced render is upscaled back to full display size in the jpeg
+    jpg = v.render_jpeg_at((0, 0, 3), (0, 0, 0), scale=0.5)
+    assert jpg[:2] == b'\xff\xd8'
+    v.start_background()
+    import time
+    time.sleep(0.3)
+    try:
+        jpg = urllib.request.urlopen(
+            'http://127.0.0.1:18924/render?ox=0&oy=0&oz=3&tx=0&ty=0&tz=0'
+            '&q=0.5&layers=1').read()
+        assert jpg[:2] == b'\xff\xd8'
+        html = urllib.request.urlopen('http://127.0.0.1:18924/').read()
+        assert b'first-person' in html and b'trackball' in html
+    finally:
+        v.shutdown()
+
+
 def test_multihost_helpers():
     from shacira_tpu.parallel import multihost
     multihost.initialize()                  # single-process no-op
