@@ -285,7 +285,9 @@ class ImageTrainer:
         'woreplace'/'sequential' as a dynamic slice of a device-resident
         permutation at ``x['sample_base']`` (dynamic_slice clamps the start,
         so tail batches overlap the previous batch instead of padding).
-        No per-step host arrays, no host->device batch traffic.
+        No per-step host arrays, no host->device batch traffic.  Under a
+        mesh the drawn batch is sharded across the data axis (image/perm
+        replicated; XLA partitions the encode and psums parameter grads).
         """
         key = ('dev_chunk', use_sga, mode)
         if key in self._fns:
@@ -294,6 +296,13 @@ class ImageTrainer:
         h, w = self.dataset.h, self.dataset.w
         p_total = self.dataset.num_pixels
         ns = self.dataset.num_samples
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from shacira_tpu.parallel.mesh import DATA_AXIS
+            assert ns % mesh.size == 0, (
+                f'num_samples {ns} must divide mesh size {mesh.size}')
+            batch_sh = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
         def run_chunk(params, opt_state, noise, best_loss, best_psnr,
                       best_params, img_flat, perm, xs):
@@ -305,6 +314,8 @@ class ImageTrainer:
                 else:
                     idx = jax.lax.dynamic_slice(perm, (x['sample_base'],),
                                                 (ns,))
+                if mesh is not None:
+                    idx = jax.lax.with_sharding_constraint(idx, batch_sh)
                 rr = (idx // w).astype(jnp.float32)
                 cc = (idx % w).astype(jnp.float32)
                 coords = jnp.stack([(rr / h - 0.5) * 2.0,
@@ -498,9 +509,16 @@ class ImageTrainer:
         total = epochs * batches_per_epoch
         t0 = time.time()
         done = 0
-        use_device = (cfg.device_sampling and self.mesh is None
+        use_device = (cfg.device_sampling
                       and ds.sample_mode in ('wreplace', 'woreplace',
-                                             'sequential'))
+                                             'sequential')
+                      and (self.mesh is None
+                           or ds.num_samples % self.mesh.size == 0))
+        if use_device and self.mesh is not None and not hasattr(self, '_dev_img'):
+            from shacira_tpu.parallel import mesh as pmesh
+            for attr in ('params', 'opt_state', 'noise', 'best_params'):
+                setattr(self, attr,
+                        pmesh.replicate(self.mesh, getattr(self, attr)))
         if use_device and not hasattr(self, '_dev_img'):
             # HBM-resident image + batch permutation (device sampling).  For
             # 'woreplace'/'sequential' the dataset's shuffle_idx is the
@@ -513,6 +531,10 @@ class ImageTrainer:
             self._dev_perm = (jnp.asarray(ds.shuffle_idx, jnp.int32)
                               if ds.shuffle_idx is not None
                               else jnp.zeros((1,), jnp.int32))
+            if self.mesh is not None:
+                from shacira_tpu.parallel import mesh as pmesh
+                self._dev_img, self._dev_perm = pmesh.replicate(
+                    self.mesh, (self._dev_img, self._dev_perm))
         self._resampled_epoch = getattr(self, '_resampled_epoch', 1)
         while done < total:
             e0 = self.epoch + 1
@@ -522,6 +544,10 @@ class ImageTrainer:
                 ds.resample()
                 if use_device and ds.shuffle_idx is not None:
                     self._dev_perm = jnp.asarray(ds.shuffle_idx, jnp.int32)
+                    if self.mesh is not None:
+                        from shacira_tpu.parallel import mesh as pmesh
+                        self._dev_perm = pmesh.replicate(self.mesh,
+                                                         self._dev_perm)
                 self._resampled_epoch = e0
             use_sga = self._use_sga_at(e0)
             n = min(max(1, cfg.chunk_size), total - done)

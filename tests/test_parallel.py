@@ -57,3 +57,36 @@ def test_batch_actually_sharded():
     assert xs.addressable_shards[0].data.shape == (8, 1)
     p = jax.device_put(np.ones(3), replicated(mesh))
     assert p.addressable_shards[0].data.shape == (3,)
+
+
+def test_device_sampled_training_under_mesh():
+    """Sampled modes with device-side batch drawing run SPMD: params
+    replicated, per-step drawn batch sharded across the data axis, and the
+    result matches the single-device device-sampling path."""
+    def setup(mesh):
+        rng = np.random.RandomState(0)
+        img = rng.rand(16, 16, 3).astype(np.float32)
+        ds = ImageDataset(img, num_samples=64, sample_mode='woreplace',
+                          seed=3)
+        grid = LatentGridConfig.from_geometric(
+            feature_dim=1, num_lods=4, min_grid_res=4, max_grid_res=16,
+            latent_dim=1, multiscale_type='cat', resolution_dim=2,
+            feature_std=0.1, codebook_bitwidth=6, init_grid='uniform',
+            num_prob_layers=2, entropy_enabled=False)
+        mcfg = NeuralImageConfig(grid=grid, hidden_dim=8, num_layers=1)
+        tcfg = ImageTrainerConfig(epochs=40, log_every=-1, entropy_reg=0.0,
+                                  chunk_size=20)
+        return ImageTrainer(tcfg, mcfg, ds, seed=0, mesh=mesh)
+
+    t1 = setup(None)
+    t1.train(epochs=40, finalize=False)
+    assert hasattr(t1, '_dev_img')
+    single = np.asarray(t1.params['grid']['codebook'])
+
+    t8 = setup(make_mesh())
+    t8.train(epochs=40, finalize=False)
+    assert hasattr(t8, '_dev_img')
+    # params stayed replicated through training
+    assert t8.params['grid']['codebook'].sharding.is_fully_replicated
+    sharded = np.asarray(t8.params['grid']['codebook'])
+    np.testing.assert_allclose(single, sharded, rtol=5e-3, atol=5e-3)
