@@ -39,6 +39,155 @@ def timeit(f, *args, iters=10, warmup=2):
     return (time.time() - t0) / iters
 
 
+def paged_breakdown():
+    """Phase timings of the PAGED lego-config step (--paged).
+
+    Phases (see rf_tracer._trace_paged): segmented march -> segment
+    compaction -> coarse-cell grouping -> paged encode on all segment rows
+    -> row compaction -> MLP head -> compact integration."""
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, 'tests')
+    from test_nerf import synthetic_scene
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.grids import latent_grid as lg
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.models.nefs import nerf as nerf_mod
+    from shacira_tpu.ops import paged_hash as ph
+    from shacira_tpu.tracers import rf_tracer
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+    from shacira_tpu.core.rays import make_rays
+
+    smoke = '--smoke' in sys.argv      # tiny CPU-runnable sanity shapes
+    if smoke:
+        jax.config.update('jax_platforms', 'cpu')
+    report = {'device': str(jax.devices()[0].platform), 'mode': 'paged'}
+    key = jax.random.PRNGKey(0)
+    N, LD, F = (16384 if smoke else 262144), 1, 4
+    K2, G, SPB = (1024 if smoke else 24576), 16, 8
+    n_steps = 1024 if smoke else 2048  # cover: span*(G/2+1)/S <= coarse cell
+    n_lods = 20 if smoke else 24       # smoke still needs paged (>=2x) LODs
+    bw = 14 if smoke else 19
+
+    data = synthetic_scene(num_views=4 if smoke else 20,
+                           res=32 if smoke else 64)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=F, num_lods=n_lods, min_grid_res=16, max_grid_res=512,
+        latent_dim=LD, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=bw, init_grid='normal',
+        num_prob_layers=1, entropy_enabled=True, hash_layout='paged',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=128, num_layers=1,
+                                     view_embedder='positional',
+                                     view_multires=4, blas_level=7)
+    tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=n_steps,
+                                    bg_color='white', max_samples=N,
+                                    segment_size=G, coarse_level=5,
+                                    seg_dilation=1, eval_seg_budget=K2,
+                                    group_segs_per_block=SPB)
+    cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
+                                 use_sga=True, temperature=1.0,
+                                 entropy_reg=1e-4, entropy_reg_end=1e-4)
+    tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)
+    tr.train(num_iterations=10)
+    sync(tr.params)
+    t0 = time.time()
+    tr.train(num_iterations=30)
+    sync(tr.params)
+    step_s = (time.time() - t0) / 30
+    report['full_step_ms'] = step_s * 1e3
+    report['rays_per_s'] = 4096 / step_s
+
+    ro = jnp.asarray(data.rays_o[0, :4096])
+    rd = jnp.asarray(data.rays_d[0, :4096])
+    rays = make_rays(ro, rd, data.dist_min, data.dist_max)
+    gt = jnp.asarray(data.rgb[0, :4096])
+
+    # march + segment culling + compaction/integration with a trivial field
+    def trivial_field(c, d):
+        s = jnp.sum(c * d, -1, keepdims=True)
+        return jnp.concatenate([s, s, s], -1), jax.nn.relu(s)
+
+    trace_triv = jax.jit(lambda occ_state, k: rf_tracer.trace(
+        trivial_field, occ_state, mcfg.occ_cfg, tcfg, rays, k))
+    report['march_integrate_trivial_ms'] = (
+        timeit(trace_triv, tr.occ_state, key) * 1e3)
+
+    # grouping alone (sort/cumsum of K2 segment keys)
+    centers = jax.random.uniform(key, (K2, 3))
+    live = jnp.ones((K2,), bool)
+    n_blocks = K2 // SPB + ph.N_CELLS
+    grp = jax.jit(lambda c, l: ph.group_segments(c, l, SPB, n_blocks))
+    report['grouping_ms'] = timeit(grp, centers, live) * 1e3
+
+    # paged encode in isolation at the kernel's slot shapes
+    grouping = jax.jit(lambda c, l: ph.group_segments(c, l, SPB, n_blocks))(
+        centers, live)
+    spec = grid.spec
+    static = ph.default_static(spec)
+    ns = n_blocks * SPB * G
+    coords_s = jax.random.uniform(key, (ns, 3), minval=-0.9, maxval=0.9)
+    slot_valid = jnp.ones((ns,), bool)
+    z = jax.random.normal(key, (spec.total_size, LD))
+    bc = grouping['block_cell']
+    enc = jax.jit(lambda cs, zz: ph.paged_interp_lods(
+        cs, slot_valid, bc, grouping['cell_used'], zz, static))
+    report['paged_encode_fwd_ms'] = timeit(enc, coords_s, z) * 1e3
+    enc_vg = jax.jit(jax.value_and_grad(
+        lambda zz: jnp.sum(ph.paged_interp_lods(
+            coords_s, slot_valid, bc, grouping['cell_used'], zz, static))))
+    report['paged_encode_fwd_bwd_ms'] = timeit(enc_vg, z) * 1e3
+    report['paged_slot_rows'] = int(ns)
+    report['paged_lods'] = len(static.lods)
+
+    # full paged loss fwd / fwd+bwd (isolates backward share)
+    def loss_fn(p, occ_state, k):
+        parts = lg.affine_parts(p['grid'], grid, use_sga=True,
+                                temperature=1.0, rng=k)
+
+        def field_fn(c, d):
+            return nerf_mod.nerf_rgba(p, mcfg, c, d, affine=parts)
+
+        def encode_fn(c, grouping):
+            return nerf_mod.nerf_feats(p, mcfg, c, grouping=grouping,
+                                       seg_size=G, affine=parts)
+
+        def head_fn(feats, dirs):
+            return nerf_mod.nerf_head(p, mcfg, feats, dirs)
+
+        rb = rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg, tcfg, rays,
+                             k, encode_split=(encode_fn, head_fn))
+        return jnp.mean(jnp.abs(rb['rgb'] - gt))
+
+    fwd = jax.jit(loss_fn)
+    report['loss_fwd_only_ms'] = timeit(fwd, tr.params, tr.occ_state,
+                                        key) * 1e3
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    report['loss_fwd_bwd_ms'] = timeit(vg, tr.params, tr.occ_state,
+                                       key) * 1e3
+
+    # MLP head alone at the post-compaction row budget
+    in_dim = mcfg.density_mlp_cfg.input_dim
+    feats = jax.random.normal(key, (N, in_dim))
+    dirs = jax.random.normal(key, (N, 3))
+    head = jax.jit(lambda p, f, d: nerf_mod.nerf_head(p, mcfg, f, d))
+    report['head_fwd_ms'] = timeit(head, tr.params, feats, dirs) * 1e3
+
+    if '--trace' in sys.argv:
+        tdir = sys.argv[sys.argv.index('--trace') + 1]
+        try:
+            with jax.profiler.trace(tdir):
+                tr.train(num_iterations=3)
+                sync(tr.params)
+            report['trace_dir'] = tdir
+        except Exception as e:
+            report['trace_error'] = repr(e)
+
+    print(json.dumps(report, indent=2))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -183,4 +332,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--paged' in sys.argv:
+        paged_breakdown()
+    else:
+        main()
