@@ -307,7 +307,8 @@ def build_image_trainer_config(args):
         entropy_reg_sched=args.entropy_reg_sched, noise_freq=args.noise_freq,
         resample=args.resample, resample_every=args.resample_every,
         chunk_size=args.chunk_size, log_every=args.log_every,
-        valid_every=args.valid_every)
+        valid_every=args.valid_every, save_every=args.save_every,
+        render_tb_every=args.render_tb_every)
 
 
 def build_image_model_config(args):
