@@ -115,6 +115,22 @@ def paged_breakdown():
     report['march_integrate_trivial_ms'] = (
         timeit(trace_triv, tr.occ_state, key) * 1e3)
 
+    # stride-compaction alone at the step's three shapes (the cumsum +
+    # scalar scatter-set); the step runs all three each iteration
+    from shacira_tpu.tracers.rf_tracer import _stride_compact
+    for nm, nn, bb in (('segs', 4096 * (n_steps // G), 8 * N // G),
+                       ('group', 8 * N // G, K2),
+                       ('rows', K2 * G, N)):
+        mask = jax.random.bernoulli(key, 0.3, (nn,))
+        f = jax.jit(lambda m, b=bb: _stride_compact(m, b))
+        report[f'stride_compact_{nm}_ms'] = timeit(f, mask) * 1e3
+
+    # fine occupancy query at the live-segment sample count
+    from shacira_tpu.accel import occupancy as occ_mod
+    qpts = jax.random.uniform(key, (8 * N // G, G, 3), minval=-1, maxval=1)
+    qf = jax.jit(lambda s, p: occ_mod.query(s, mcfg.occ_cfg, p))
+    report['fine_query_ms'] = timeit(qf, tr.occ_state, qpts) * 1e3
+
     # grouping alone (sort/cumsum of K2 segment keys)
     centers = jax.random.uniform(key, (K2, 3))
     live = jnp.ones((K2,), bool)

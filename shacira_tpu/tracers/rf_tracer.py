@@ -89,7 +89,10 @@ def _stride_compact(flat_mask, budget: int):
     occupancy grid), drop by stride so remaining entries stay uniformly
     distributed instead of starving the tail.
 
-    Returns (src [budget] int32 source positions, valid [budget] bool).
+    Returns (src [budget] int32 source positions, valid [budget] bool,
+    inv [n] int32 slot per source position, budget for dropped rows — the
+    inverse map, letting differentiable compactions run their backward as a
+    gather via paged_hash.permute_rows instead of an XLA row-scatter).
     """
     n = flat_mask.shape[0]
     total = jnp.sum(flat_mask)
@@ -102,7 +105,7 @@ def _stride_compact(flat_mask, budget: int):
     src = jnp.zeros((budget,), jnp.int32)
     src = src.at[slots].set(jnp.arange(n, dtype=jnp.int32), mode='drop')
     valid = jnp.arange(budget) < jnp.sum(keep)
-    return src, valid
+    return src, valid, slots.astype(jnp.int32)
 
 
 def _eval_field(field_fn, coords, dirs):
@@ -188,7 +191,7 @@ def _compact_eval_rows(field_fn, flat_samples, flat_dirs, flat_mask,
     """Evaluate the field on up to K occupied rows (stable stride
     compaction).  Returns (src_idx [K], valid [K], color [K,3],
     density [K], extras {name: [K,k]})."""
-    src_idx, k_valid = _stride_compact(flat_mask, max_samples)
+    src_idx, k_valid, _ = _stride_compact(flat_mask, max_samples)
     k_color, k_density, k_extras = _eval_field(
         field_fn, flat_samples[src_idx], flat_dirs[src_idx])
     return src_idx, k_valid, k_color, k_density[..., 0], k_extras
@@ -284,7 +287,7 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
 
     # compact live segments to the segment budget
     k_seg = cfg.seg_budget or max(1, 8 * cfg.max_samples // G)
-    src_seg, seg_valid = _stride_compact(mask_c.reshape(-1), k_seg)
+    src_seg, seg_valid, _ = _stride_compact(mask_c.reshape(-1), k_seg)
     r_id = src_seg // ns
     depth_s = jnp.take(depth.reshape(R * ns, G), src_seg, axis=0)   # [K, G]
     delta_s = jnp.take(deltas.reshape(R * ns, G), src_seg, axis=0)  # [K, G]
@@ -327,7 +330,7 @@ def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
     k2 = cfg.eval_seg_budget
     spb = cfg.group_segs_per_block
     live = seg['mask'].any(axis=-1)
-    src2, valid2 = _stride_compact(live, k2)
+    src2, valid2, _ = _stride_compact(live, k2)
     take = lambda a: jnp.take(a.reshape(a.shape[0], -1), src2,
                               axis=0)
     samples2 = take(seg['samples']).reshape(k2, g, 3)
@@ -343,8 +346,12 @@ def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
 
     feats = encode_fn(samples2.reshape(k2 * g, 3), grouping)   # [K2*G, D]
 
-    src_idx, k_valid = _stride_compact(fine2.reshape(-1), cfg.max_samples)
-    color, density = head_fn(jnp.take(feats, src_idx, axis=0),
+    src_idx, k_valid, inv_idx = _stride_compact(fine2.reshape(-1),
+                                                cfg.max_samples)
+    # feats is the only param-path input here: route its backward through a
+    # gather (mutual-inverse permutation) instead of an XLA row-scatter
+    feats_c = ph.permute_rows(feats, src_idx, inv_idx, cfg.max_samples)
+    color, density = head_fn(feats_c,
                              jnp.take(dirs2.reshape(-1, 3), src_idx, axis=0))
     return volume_integrate_compact(
         color, density[..., 0], jnp.take(delta2.reshape(-1), src_idx),
