@@ -20,7 +20,8 @@ import numpy as np
 A100_REF_RAYS_S = 80000.0
 
 
-def measure(paged: bool = True, iters: int = 30):
+def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
+            seg_dilation: int = 1, seg_budget: int = 0):
     import jax
     sys.path.insert(0, 'tests')
     from test_nerf import synthetic_scene
@@ -45,8 +46,9 @@ def measure(paged: bool = True, iters: int = 30):
                                      view_multires=4, blas_level=7)
     tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
                                     bg_color='white', max_samples=262144,
-                                    segment_size=16, coarse_level=5,
-                                    seg_dilation=1,
+                                    segment_size=16, coarse_level=coarse_level,
+                                    seg_dilation=seg_dilation,
+                                    seg_budget=seg_budget,
                                     eval_seg_budget=24576 if paged else 0)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  use_sga=True, temperature=1.0,

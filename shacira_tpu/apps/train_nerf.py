@@ -105,6 +105,7 @@ def main(argv=None):
                            max(1, eval_data.num_views // 8)))
     metrics = trainer.evaluate(view_indices=val_views, dataset=eval_data)
     metrics['split'] = 'val' if val_data is not None else args.dataset_split
+    metrics.update(trainer.size_report(use_codec=True))
     log.info('Validation (%s): PSNR %.2f | SSIM %.4f', metrics['split'],
              metrics['psnr'], metrics['ssim'])
     logger.record({'final': True, **{k: v for k, v in metrics.items()}})

@@ -569,3 +569,23 @@ class MultiviewTrainer:
         if lpipses:
             out['lpips'] = float(np.mean(lpipses))
         return out
+
+    def size_report(self, use_codec: bool = False, params=None):
+        """Latent/decoder/total size accounting in kB (the reference logs
+        latent/total size per epoch, multiview_trainer.py:164-169).  Empty
+        for non-latent grids (octree/codebook/triplanar)."""
+        from shacira_tpu.models import mlp as mlp_mod
+        from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+        params = params if params is not None else self.params
+        gcfg = self.model_cfg.grid
+        if not isinstance(gcfg, LatentGridConfig):
+            return {}
+        ldec_bits, latent_bits = lg.grid_size_bits(params['grid'], gcfg,
+                                                   use_codec=use_codec)
+        rest = (mlp_mod.mlp_size_bits(params['decoder_density'])
+                + mlp_mod.mlp_size_bits(params['decoder_color']))
+        total = ldec_bits + latent_bits + rest
+        return {'ldec_size_kb': ldec_bits / 8e3,
+                'latent_size_kb': latent_bits / 8e3,
+                'remainder_size_kb': rest / 8e3,
+                'total_size_kb': total / 8e3}

@@ -9,10 +9,13 @@ the HBM-resident device-sampling loop (host presampling for comparison via
 Usage: python tools/bench_sampled.py [--host] [--pixels 8192] [--iters 400]
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
