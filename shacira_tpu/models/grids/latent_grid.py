@@ -252,6 +252,66 @@ def interpolate(params, cfg: LatentGridConfig, coords, *,
     return out.reshape(*lead_shape, out.shape[-1])
 
 
+def paged_zbar(params, cfg: LatentGridConfig, coords, grouping,
+               seg_size: int, *, affine):
+    """Paged-LOD latent interpolation on segment-ordered rows.
+
+    Returns ``zbar [K*G, Lp, ld]`` — raw interpolated latents of the paged
+    LODs (decode after interpolation is exact for affine decoders since
+    trilinear weights sum to 1)."""
+    from shacira_tpu.ops import paged_hash as ph
+    z, matrix, shift = affine
+    spec = cfg.spec
+    non, pag = ph.paged_lods(spec)
+    n2 = coords.shape[0]
+    k2 = n2 // seg_size
+    # slot the rows by grouping cell, interpolate latents, map back
+    s2s = grouping['slotseg_to_seg']                       # [n_slotseg]
+    n_slotseg = s2s.shape[0]
+    rows = coords.reshape(k2, seg_size * 3)
+    coords_s = jnp.take(rows, jnp.minimum(s2s, k2 - 1), axis=0)
+    sv_seg = s2s < k2
+    coords_s = jnp.where(sv_seg[:, None], coords_s, 0.0)
+    coords_s = coords_s.reshape(n_slotseg * seg_size, 3)
+    slot_valid = jnp.repeat(sv_seg, seg_size)
+    static = ph.default_static(spec)
+    zbar_s = ph.paged_interp_lods(coords_s, slot_valid, grouping['block_cell'],
+                                  grouping['cell_used'], z, static)
+    lp, ld = len(pag), z.shape[-1]
+    zbar_rows = ph.permute_rows(
+        zbar_s.reshape(n_slotseg, seg_size * lp * ld),
+        grouping['seg_to_slotseg'], s2s, k2)
+    return zbar_rows.reshape(n2, lp, ld)
+
+
+def paged_finish(params, cfg: LatentGridConfig, zbar, coords, *,
+                 affine, lod_mask: Optional[jax.Array] = None):
+    """Combine compacted paged latents with the direct-LOD encode at the
+    (compacted) coords: decode ``zbar``, gather-encode the non-paged prefix
+    LODs, concatenate in LOD order.
+
+    Running this AFTER row compaction is the deferred-direct split: the
+    direct LODs' gathers and backward scatters touch only the max_samples
+    surviving rows instead of every segment row (3-6x fewer with the
+    adaptive budget), while the paged LODs — which need segment grouping —
+    ran on the slot rows."""
+    from shacira_tpu.ops import paged_hash as ph
+    z, matrix, shift = affine
+    spec = cfg.spec
+    non, pag = ph.paged_lods(spec)
+    n = coords.shape[0]
+    feats_direct = hash_encode_affine(coords, z, matrix, shift, spec,
+                                      tuple(non))          # [N, Ln, F]
+    zbar = zbar.reshape(n, len(pag), z.shape[-1])
+    decoded_paged = zbar @ matrix + shift                  # [N, Lp, F]
+    feats = jnp.concatenate([feats_direct, decoded_paged], axis=1)
+    if lod_mask is not None:
+        feats = feats * lod_mask[None, :, None]
+    if cfg.multiscale_type == 'cat':
+        return feats.reshape(n, -1)
+    return feats.sum(axis=1)
+
+
 def interpolate_paged(params, cfg: LatentGridConfig, coords, grouping,
                       seg_size: int, *, use_sga: bool = False,
                       temperature: float = 1.0,
@@ -272,42 +332,12 @@ def interpolate_paged(params, cfg: LatentGridConfig, coords, grouping,
     Returns:
         [K*G, output_dim] features.
     """
-    from shacira_tpu.ops import paged_hash as ph
     if affine is None:
         affine = affine_parts(params, cfg, use_sga=use_sga,
                               temperature=temperature, rng=rng)
-    z, matrix, shift = affine
-    spec = cfg.spec
-    non, pag = ph.paged_lods(spec)
-    n2 = coords.shape[0]
-    k2 = n2 // seg_size
-    feats_direct = hash_encode_affine(coords, z, matrix, shift, spec,
-                                      tuple(non))          # [N2, Ln, F]
-
-    # slot the rows by grouping cell, interpolate latents, map back
-    s2s = grouping['slotseg_to_seg']                       # [n_slotseg]
-    n_slotseg = s2s.shape[0]
-    rows = coords.reshape(k2, seg_size * 3)
-    coords_s = jnp.take(rows, jnp.minimum(s2s, k2 - 1), axis=0)
-    sv_seg = s2s < k2
-    coords_s = jnp.where(sv_seg[:, None], coords_s, 0.0)
-    coords_s = coords_s.reshape(n_slotseg * seg_size, 3)
-    slot_valid = jnp.repeat(sv_seg, seg_size)
-    static = ph.default_static(spec)
-    zbar_s = ph.paged_interp_lods(coords_s, slot_valid, grouping['block_cell'],
-                                  grouping['cell_used'], z, static)
-    lp, ld = len(pag), z.shape[-1]
-    zbar_rows = ph.permute_rows(
-        zbar_s.reshape(n_slotseg, seg_size * lp * ld),
-        grouping['seg_to_slotseg'], s2s, k2)
-    zbar = zbar_rows.reshape(n2, lp, ld)
-    decoded_paged = zbar @ matrix + shift                  # [N2, Lp, F]
-    feats = jnp.concatenate([feats_direct, decoded_paged], axis=1)
-    if lod_mask is not None:
-        feats = feats * lod_mask[None, :, None]
-    if cfg.multiscale_type == 'cat':
-        return feats.reshape(n2, -1)
-    return feats.sum(axis=1)
+    zbar = paged_zbar(params, cfg, coords, grouping, seg_size, affine=affine)
+    return paged_finish(params, cfg, zbar, coords, affine=affine,
+                        lod_mask=lod_mask)
 
 
 def ent_loss(params, cfg: LatentGridConfig, noise, *, is_val: bool = False):

@@ -117,6 +117,31 @@ def nerf_feats(params, cfg: NeuralRadianceFieldConfig, coords, *,
     return feats
 
 
+def nerf_zbar(params, cfg: NeuralRadianceFieldConfig, coords, grouping,
+              seg_size: int, *, affine):
+    """Paged-LOD latents on segment-ordered rows (deferred-direct split,
+    stage 1 — see latent_grid.paged_zbar).  Returns [N, Lp*ld] flat."""
+    zb = lg.paged_zbar(params['grid'], cfg.grid, coords, grouping, seg_size,
+                       affine=affine)
+    return zb.reshape(zb.shape[0], -1)
+
+
+def nerf_finish_feats(params, cfg: NeuralRadianceFieldConfig, zbar, coords,
+                      *, affine, lod_mask=None):
+    """Deferred-direct split, stage 2 (post row-compaction): direct-LOD
+    encode at the compacted coords + paged decode + positional embedding."""
+    feats = lg.paged_finish(params['grid'], cfg.grid, zbar, coords,
+                            affine=affine, lod_mask=lod_mask)
+    if cfg.pos_embed_dim:
+        if cfg.pos_embedder == 'positional':
+            emb = positional_embed(PositionalEmbedderConfig(
+                cfg.pos_multires, 3, include_input=cfg.position_input), coords)
+        else:
+            emb = coords
+        feats = jnp.concatenate([feats, emb], axis=-1)
+    return feats
+
+
 def nerf_head(params, cfg: NeuralRadianceFieldConfig, feats, ray_d):
     """MLP half of the field: grid feats + view dirs -> (rgb, density)."""
     density_feats = mlp_apply(params['decoder_density'], cfg.density_mlp_cfg,

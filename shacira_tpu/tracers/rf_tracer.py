@@ -320,10 +320,14 @@ def _flatten_segs(seg):
 
 
 def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
-                 num_rays: int):
+                 num_rays: int, finish_fn=None):
     """Segment-grouped paged trace: second-stage segment compaction,
     coarse-cell grouping, paged grid encode on all segment rows, then
-    row-level compaction for the MLP head and compact integration."""
+    row-level compaction for the MLP head and compact integration.
+
+    With ``finish_fn`` (the deferred-direct split), ``encode_fn`` returns
+    only the paged LODs' narrow latents and ``finish_fn(zbar_c, coords_c)``
+    completes the features on the compacted rows."""
     from shacira_tpu.ops import paged_hash as ph
 
     g = cfg.segment_size
@@ -344,13 +348,22 @@ def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
     n_blocks = k2 // spb + ph.N_CELLS
     grouping = ph.group_segments(centers01, valid2, spb, n_blocks)
 
-    feats = encode_fn(samples2.reshape(k2 * g, 3), grouping)   # [K2*G, D]
-
     src_idx, k_valid, inv_idx = _stride_compact(fine2.reshape(-1),
                                                 cfg.max_samples)
-    # feats is the only param-path input here: route its backward through a
-    # gather (mutual-inverse permutation) instead of an XLA row-scatter
-    feats_c = ph.permute_rows(feats, src_idx, inv_idx, cfg.max_samples)
+    if finish_fn is not None:
+        # deferred-direct split: paged LODs encode on the segment rows
+        # (they need the grouping); the narrow zbar is compacted via a
+        # mutual-inverse permutation (gather backward), and the direct
+        # LODs encode only on the max_samples surviving rows
+        zbar = encode_fn(samples2.reshape(k2 * g, 3), grouping)
+        zbar_c = ph.permute_rows(zbar, src_idx, inv_idx, cfg.max_samples)
+        coords_c = jnp.take(samples2.reshape(-1, 3), src_idx, axis=0)
+        feats_c = finish_fn(zbar_c, coords_c)
+    else:
+        feats = encode_fn(samples2.reshape(k2 * g, 3), grouping)  # [K2*G, D]
+        # feats is the only param-path input here: route its backward
+        # through a gather instead of an XLA row-scatter
+        feats_c = ph.permute_rows(feats, src_idx, inv_idx, cfg.max_samples)
     color, density = head_fn(feats_c,
                              jnp.take(dirs2.reshape(-1, 3), src_idx, axis=0))
     return volume_integrate_compact(
@@ -368,9 +381,14 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         occ_state/occ_cfg: dense occupancy grid.
         rays: [R] rays.
         rng: key for raymarch jitter.
-        encode_split: optional (encode_fn, head_fn) pair enabling the paged
-            trace (cfg.eval_seg_budget > 0): encode_fn(coords [K*G, 3],
-            grouping) -> feats, head_fn(feats, dirs) -> (rgb, density).
+        encode_split: optional pair/triple enabling the paged trace
+            (cfg.eval_seg_budget > 0).  Pair: (encode_fn, head_fn) with
+            encode_fn(coords [K*G, 3], grouping) -> feats and
+            head_fn(feats, dirs) -> (rgb, density).  Triple (deferred-direct
+            split): (zbar_fn, finish_fn, head_fn) where zbar_fn returns only
+            the paged LODs' latents on the segment rows and
+            finish_fn(zbar_c, coords_c) completes features on the compacted
+            rows (direct-LOD encode touches max_samples rows only).
     Returns:
         dict with rgb [R,3], alpha [R,1], depth [R,1], hit [R] (RenderBuffer
         equivalent of the reference, packed_rf_tracer.py:170), plus one
@@ -383,7 +401,12 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         seg = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays,
                                    rng)
         if encode_split is not None and cfg.eval_seg_budget > 0:
-            out = _trace_paged(encode_split[0], encode_split[1], seg, cfg, R)
+            if len(encode_split) == 3:      # (zbar_fn, finish_fn, head_fn)
+                out = _trace_paged(encode_split[0], encode_split[2], seg,
+                                   cfg, R, finish_fn=encode_split[1])
+            else:
+                out = _trace_paged(encode_split[0], encode_split[1], seg,
+                                   cfg, R)
         else:
             out = _trace_compact_flat(field_fn, _flatten_segs(seg),
                                       cfg.max_samples, R)

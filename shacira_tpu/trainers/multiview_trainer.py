@@ -194,16 +194,21 @@ class MultiviewTrainer:
                     if (gcfg.hash_layout == 'paged'
                             and tcfg.eval_seg_budget > 0
                             and tcfg.segment_size > 0):
-                        def encode_fn(coords, grouping):
-                            return nerf_mod.nerf_feats(
-                                p, mcfg, coords, grouping=grouping,
-                                seg_size=tcfg.segment_size, affine=parts,
+                        # deferred-direct split (rf_tracer.trace triple)
+                        def zbar_fn(coords, grouping):
+                            return nerf_mod.nerf_zbar(
+                                p, mcfg, coords, grouping,
+                                tcfg.segment_size, affine=parts)
+
+                        def finish_fn(zbar_c, coords_c):
+                            return nerf_mod.nerf_finish_feats(
+                                p, mcfg, zbar_c, coords_c, affine=parts,
                                 lod_mask=lod_mask)
 
                         def head_fn(feats, dirs):
                             return nerf_mod.nerf_head(p, mcfg, feats, dirs)
 
-                        encode_split = (encode_fn, head_fn)
+                        encode_split = (zbar_fn, finish_fn, head_fn)
                 else:
                     decoded = lg.decode_codebook(
                         p['grid'], gcfg, use_sga=use_sga,
