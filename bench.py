@@ -80,7 +80,10 @@ def main():
     framework's tightest perf target (BASELINE.md: >=3x A100 Wisp).  The
     image-INR throughput rides along in ``extra``."""
     import bench_nerf
-    nerf = bench_nerf.measure(paged=True)
+    # tuned march: 128-res stage-1 culling (dilation 2 covers the lego
+    # segment half-length) + 32K segment budget
+    nerf = bench_nerf.measure(paged=True, coarse_level=7, seg_dilation=2,
+                              seg_budget=32768)
     image = measure_image()
     out = dict(nerf)
     out['extra'] = {'image_mpix_per_s': image['value'],

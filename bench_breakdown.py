@@ -82,10 +82,14 @@ def paged_breakdown():
     mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=128, num_layers=1,
                                      view_embedder='positional',
                                      view_multires=4, blas_level=7)
+    tuned = '--tuned' in sys.argv
     tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=n_steps,
                                     bg_color='white', max_samples=N,
-                                    segment_size=G, coarse_level=5,
-                                    seg_dilation=1, eval_seg_budget=K2,
+                                    segment_size=G,
+                                    coarse_level=7 if tuned else 5,
+                                    seg_dilation=2 if tuned else 1,
+                                    seg_budget=32768 if tuned else 0,
+                                    eval_seg_budget=K2,
                                     group_segs_per_block=SPB)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  use_sga=True, temperature=1.0,

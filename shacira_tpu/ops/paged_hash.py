@@ -244,21 +244,22 @@ def _slot_corner_data(coords_s, block_cell, res: int, spec: HashGridSpec,
 
 def _gather_kernel(bc_ref, ent_ref, psel_ref, w_ref, neigh_ref, out_ref, *,
                    C, B, E, LD, dtype):
+    # one fused [E, C*B] one-hot against the block's neighborhood: a single
+    # MXU contraction instead of C small ones (C=8 corners)
     neigh = neigh_ref[0].astype(dtype)                    # [E, LD*64]
-    accs = [jnp.zeros((B,), jnp.float32) for _ in range(LD)]
-    for c in range(C):
-        ent = ent_ref[0, c, :]                            # [B]
-        psel = psel_ref[0, c, :]
-        w = w_ref[0, c, :]
-        e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, B), 0)
-        a = (ent[None, :] == e_iota).astype(dtype)        # [E, B]
-        g = jax.lax.dot_general(neigh, a, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        p_iota = jax.lax.broadcasted_iota(jnp.int32, (N_NEIGH, B), 0)
-        m = (psel[None, :] == p_iota).astype(jnp.float32)  # [64, B]
-        for l in range(LD):
-            sel = jnp.sum(g[l * N_NEIGH:(l + 1) * N_NEIGH, :] * m, axis=0)
-            accs[l] = accs[l] + w * sel
+    ent = ent_ref[0].reshape(C * B)                       # corner-major
+    psel = psel_ref[0].reshape(C * B)
+    w = w_ref[0].reshape(C * B)
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, C * B), 0)
+    a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
+    g = jax.lax.dot_general(neigh, a, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (N_NEIGH, C * B), 0)
+    m = (psel[None, :] == p_iota).astype(jnp.float32)     # [64, C*B]
+    accs = []
+    for l in range(LD):
+        sel = jnp.sum(g[l * N_NEIGH:(l + 1) * N_NEIGH, :] * m, axis=0)
+        accs.append(jnp.sum((w * sel).reshape(C, B), axis=0))
     out_ref[0] = jnp.stack(accs)                          # [LD, B]
 
 
@@ -272,24 +273,23 @@ def _scatter_kernel(bc_ref, ent_ref, psel_ref, w_ref, g_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    acc = jnp.zeros((E, LD * N_NEIGH), jnp.float32)
-    for c in range(C):
-        ent = ent_ref[0, c, :]
-        psel = psel_ref[0, c, :]
-        w = w_ref[0, c, :]
-        e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, B), 0)
-        a = (ent[None, :] == e_iota).astype(dtype)        # [E, B]
-        p_iota = jax.lax.broadcasted_iota(jnp.int32, (N_NEIGH, B), 0)
-        m = (psel[None, :] == p_iota).astype(jnp.float32)  # [64, B]
-        rows = []
-        for l in range(LD):
-            gl = g_ref[0, l, :] * w                       # [B]
-            rows.append(m * gl[None, :])                  # [64, B]
-        dg = jnp.concatenate(rows, axis=0).astype(dtype)  # [LD*64, B]
-        acc = acc + jax.lax.dot_general(
-            a, dg, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [E, LD*64]
-    out_ref[0] += acc
+    # fused corners: one [E, C*B] x [C*B, LD*64] MXU contraction
+    ent = ent_ref[0].reshape(C * B)
+    psel = psel_ref[0].reshape(C * B)
+    w = w_ref[0].reshape(C * B)
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, C * B), 0)
+    a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (N_NEIGH, C * B), 0)
+    m = (psel[None, :] == p_iota).astype(jnp.float32)     # [64, C*B]
+    rows = []
+    for l in range(LD):
+        gl = (jnp.broadcast_to(g_ref[0, l, :][None, :], (C, B))
+              .reshape(C * B) * w)
+        rows.append(m * gl[None, :])                      # [64, C*B]
+    dg = jnp.concatenate(rows, axis=0).astype(dtype)      # [LD*64, C*B]
+    out_ref[0] += jax.lax.dot_general(
+        a, dg, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [E, LD*64]
 
 
 def _neigh_table(table, e: int, ld: int):

@@ -240,9 +240,23 @@ def _coarse_dilated_occupancy(occ_state, occ_cfg: occ.OccupancyGridConfig,
     o = occ_state['occ'].reshape(rc, f, rc, f, rc, f).any(axis=(1, 3, 5))
     if dilation > 0:
         k = 2 * dilation + 1
-        o = jax.lax.reduce_window(o.astype(jnp.uint8), np.uint8(0),
-                                  jax.lax.max, (k, k, k), (1, 1, 1), 'SAME')
+        o = o.astype(jnp.uint8)
+        for axis in range(3):       # separable max filter (3 cheap passes)
+            win = [1, 1, 1]
+            win[axis] = k
+            o = jax.lax.reduce_window(o, np.uint8(0), jax.lax.max,
+                                      tuple(win), (1, 1, 1), 'SAME')
     return o.astype(bool)
+
+
+def coarse_dilated_occupancy(occ_state, occ_cfg: occ.OccupancyGridConfig,
+                             cfg: RFTracerConfig):
+    """The segmented march's coarse culling grid.  Occupancy only changes at
+    prune time, so trainers precompute this once per prune and stash it as
+    ``occ_state['coarse']`` instead of re-deriving it every step."""
+    return _coarse_dilated_occupancy(occ_state, occ_cfg,
+                                     _coarse_res(cfg, occ_cfg),
+                                     cfg.seg_dilation)
 
 
 def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
@@ -276,8 +290,10 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
     # validate_segment_cover() with their concrete distance bounds.
     cover = segment_cover_radius(cfg, occ_cfg)
     rc = _coarse_res(cfg, occ_cfg)
-    coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, rc,
-                                       cfg.seg_dilation)
+    coarse = occ_state.get('coarse')
+    if coarse is None:
+        coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, rc,
+                                           cfg.seg_dilation)
     dseg = depth.reshape(R, ns, G)
     t_mid = 0.5 * (dseg[..., 0] + dseg[..., -1])              # [R, ns]
     mid = rays.origins[:, None, :] + rays.dirs[:, None, :] * t_mid[..., None]

@@ -145,6 +145,8 @@ class MultiviewTrainer:
             rf_tracer.validate_segment_cover(
                 tracer_cfg, model_cfg.occ_cfg,
                 float(dataset.dist_min), float(dataset.dist_max))
+        if tracer_cfg.segment_size > 0:
+            self._refresh_coarse()
         if (model_cfg.grid.hash_layout == 'paged'
                 and tracer_cfg.eval_seg_budget > 0):
             from shacira_tpu.ops import paged_hash as ph
@@ -272,6 +274,18 @@ class MultiviewTrainer:
         fn = jax.jit(run_chunk, donate_argnums=(0, 1, 2))
         self._fns[key] = fn
         return fn
+
+    def _refresh_coarse(self):
+        """Recompute the segmented march's coarse culling grid (occupancy
+        changes only at prune time — keep it out of the per-step program)."""
+        if 'coarse' not in self._fns:
+            tcfg = self.tracer_cfg
+            self._fns['coarse'] = jax.jit(
+                lambda s: rf_tracer.coarse_dilated_occupancy(
+                    s, self.model_cfg.occ_cfg, tcfg))
+        base = {k: v for k, v in self.occ_state.items() if k != 'coarse'}
+        self.occ_state = dict(base,
+                              coarse=self._fns['coarse'](base))
 
     def _get_prune_fn(self):
         if 'prune' not in self._fns:
@@ -423,6 +437,8 @@ class MultiviewTrainer:
                     and self.iteration % cfg.prune_every == 0):
                 self.rng, k = jax.random.split(self.rng)
                 self.occ_state = self._get_prune_fn()(self.params, self.occ_state, k)
+                if self.tracer_cfg.segment_size > 0:
+                    self._refresh_coarse()
                 if cfg.adaptive_budget:
                     self._adapt_budget()
 
