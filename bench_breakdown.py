@@ -119,6 +119,18 @@ def paged_breakdown():
     report['march_integrate_trivial_ms'] = (
         timeit(trace_triv, tr.occ_state, key) * 1e3)
 
+    # same trace fwd+bwd through a scalar density knob — isolates the
+    # backward cost of compaction + segmented integration alone
+    def triv_loss(th, occ_state, k):
+        def f(c, d):
+            s = jnp.sum(c * d, -1, keepdims=True) * th
+            return jnp.concatenate([s, s, s], -1), jax.nn.relu(s)
+        rb = rf_tracer.trace(f, occ_state, mcfg.occ_cfg, tcfg, rays, k)
+        return jnp.mean(rb['rgb'])
+    triv_vg = jax.jit(jax.value_and_grad(triv_loss))
+    report['march_integrate_trivial_fwd_bwd_ms'] = (
+        timeit(triv_vg, jnp.float32(1.0), tr.occ_state, key) * 1e3)
+
     # stride-compaction alone at the step's three shapes (the cumsum +
     # scalar scatter-set); the step runs all three each iteration
     from shacira_tpu.tracers.rf_tracer import _stride_compact
@@ -146,7 +158,7 @@ def paged_breakdown():
     grouping = jax.jit(lambda c, l: ph.group_segments(c, l, SPB, n_blocks))(
         centers, live)
     spec = grid.spec
-    static = ph.default_static(spec)
+    static = ph.default_static(spec, include_direct=True)
     ns = n_blocks * SPB * G
     coords_s = jax.random.uniform(key, (ns, 3), minval=-0.9, maxval=0.9)
     slot_valid = jnp.ones((ns,), bool)
@@ -161,6 +173,51 @@ def paged_breakdown():
     report['paged_encode_fwd_bwd_ms'] = timeit(enc_vg, z) * 1e3
     report['paged_slot_rows'] = int(ns)
     report['paged_lods'] = len(static.lods)
+    report['direct_lods_in_kernel'] = len(static.direct_lods)
+
+    # per-step codebook-wide work: SGA decode (gumbel draw + quantize over
+    # the full latent table), entropy loss (BitEstimator over the table),
+    # and the 5-group Adam update
+    noise = jax.random.uniform(key, (spec.total_size, LD)) - 0.5
+
+    def parts_loss(p, k):
+        zz, mat, sh = lg.affine_parts(p['grid'], grid, use_sga=True,
+                                      temperature=1.0, rng=k)
+        return jnp.sum(zz) + jnp.sum(mat) + jnp.sum(sh)
+    pv = jax.jit(jax.value_and_grad(parts_loss))
+    report['affine_parts_fwd_bwd_ms'] = timeit(pv, tr.params, key) * 1e3
+
+    def ent_loss_fn(p):
+        avg_bits, _ = lg.ent_loss(p['grid'], grid, noise)
+        return avg_bits
+    ev = jax.jit(jax.value_and_grad(ent_loss_fn))
+    report['ent_loss_fwd_bwd_ms'] = timeit(ev, tr.params) * 1e3
+
+    from shacira_tpu import optim
+    zero_grads = jax.tree.map(jnp.zeros_like, tr.params)
+    lrs = {k: jnp.float32(1e-3) for k in
+           ('decoder', 'grid', 'latent_dec', 'prob_models', 'rest')}
+    wd = {k: 0.0 for k in lrs}
+    opt_fn = jax.jit(lambda g, s, p: optim.adam_update(
+        g, s, p, tr.labels, lrs, wd, decoupled=False))
+    report['opt_update_ms'] = timeit(opt_fn, zero_grads, tr.opt_state,
+                                     tr.params) * 1e3
+
+    # post-compaction finish (affine decode of the in-kernel zbar, plus any
+    # unpageable-LOD gather encode) at the compacted row budget
+    rest, direct, pag = ph.blocklocal_lods(spec)
+    coords_c = jax.random.uniform(key, (N, 3), minval=-0.9, maxval=0.9)
+    zbar_c = jax.random.normal(key, (N, len(direct) + len(pag), LD))
+
+    def finish_loss(p, k):
+        parts = lg.affine_parts(p['grid'], grid, use_sga=True,
+                                temperature=1.0, rng=k)
+        return jnp.sum(lg.paged_finish(p['grid'], grid, zbar_c, coords_c,
+                                       affine=parts))
+    ff = jax.jit(finish_loss)
+    report['finish_direct_fwd_ms'] = timeit(ff, tr.params, key) * 1e3
+    fv = jax.jit(jax.value_and_grad(finish_loss))
+    report['finish_direct_fwd_bwd_ms'] = timeit(fv, tr.params, key) * 1e3
 
     # full paged loss fwd / fwd+bwd (isolates backward share)
     def loss_fn(p, occ_state, k):

@@ -254,15 +254,17 @@ def interpolate(params, cfg: LatentGridConfig, coords, *,
 
 def paged_zbar(params, cfg: LatentGridConfig, coords, grouping,
                seg_size: int, *, affine):
-    """Paged-LOD latent interpolation on segment-ordered rows.
+    """Block-local latent interpolation on segment-ordered rows.
 
-    Returns ``zbar [K*G, Lp, ld]`` — raw interpolated latents of the paged
-    LODs (decode after interpolation is exact for affine decoders since
-    trilinear weights sum to 1)."""
+    Every kernel-eligible LOD — paged hashed LODs via page neighborhoods
+    AND direct dense LODs via per-cell slabs (ops/paged_hash.py) — is
+    interpolated in one fused Pallas pass over the grouped slot rows.
+    Returns ``zbar [K*G, Lk, ld]`` raw interpolated latents in ascending
+    LOD order (decode after interpolation is exact for affine decoders
+    since trilinear weights sum to 1)."""
     from shacira_tpu.ops import paged_hash as ph
     z, matrix, shift = affine
     spec = cfg.spec
-    non, pag = ph.paged_lods(spec)
     n2 = coords.shape[0]
     k2 = n2 // seg_size
     # slot the rows by grouping cell, interpolate latents, map back
@@ -274,37 +276,43 @@ def paged_zbar(params, cfg: LatentGridConfig, coords, grouping,
     coords_s = jnp.where(sv_seg[:, None], coords_s, 0.0)
     coords_s = coords_s.reshape(n_slotseg * seg_size, 3)
     slot_valid = jnp.repeat(sv_seg, seg_size)
-    static = ph.default_static(spec)
+    static = ph.default_static(spec, include_direct=True)
     zbar_s = ph.paged_interp_lods(coords_s, slot_valid, grouping['block_cell'],
                                   grouping['cell_used'], z, static)
-    lp, ld = len(pag), z.shape[-1]
+    lk, ld = len(static.all_lods), z.shape[-1]
     zbar_rows = ph.permute_rows(
-        zbar_s.reshape(n_slotseg, seg_size * lp * ld),
+        zbar_s.reshape(n_slotseg, seg_size * lk * ld),
         grouping['seg_to_slotseg'], s2s, k2)
-    return zbar_rows.reshape(n2, lp, ld)
+    return zbar_rows.reshape(n2, lk, ld)
 
 
 def paged_finish(params, cfg: LatentGridConfig, zbar, coords, *,
                  affine, lod_mask: Optional[jax.Array] = None):
-    """Combine compacted paged latents with the direct-LOD encode at the
-    (compacted) coords: decode ``zbar``, gather-encode the non-paged prefix
-    LODs, concatenate in LOD order.
+    """Decode the block-local latents into features on the (compacted) rows.
 
-    Running this AFTER row compaction is the deferred-direct split: the
-    direct LODs' gathers and backward scatters touch only the max_samples
-    surviving rows instead of every segment row (3-6x fewer with the
-    adaptive budget), while the paged LODs — which need segment grouping —
-    ran on the slot rows."""
+    All direct + paged LODs were interpolated in-kernel on the slot rows
+    (:func:`paged_zbar`), so this stage is just the affine decode — plus a
+    gather-encode fallback for any hashed-but-unpageable LODs (none in the
+    standard lego/pearl specs)."""
     from shacira_tpu.ops import paged_hash as ph
     z, matrix, shift = affine
     spec = cfg.spec
-    non, pag = ph.paged_lods(spec)
+    rest, direct, pag = ph.blocklocal_lods(spec)
+    kernel_lods = direct + pag
     n = coords.shape[0]
-    feats_direct = hash_encode_affine(coords, z, matrix, shift, spec,
-                                      tuple(non))          # [N, Ln, F]
-    zbar = zbar.reshape(n, len(pag), z.shape[-1])
-    decoded_paged = zbar @ matrix + shift                  # [N, Lp, F]
-    feats = jnp.concatenate([feats_direct, decoded_paged], axis=1)
+    zbar = zbar.reshape(n, len(kernel_lods), z.shape[-1])
+    decoded = zbar @ matrix + shift                        # [N, Lk, F]
+    if rest:
+        feats_rest = hash_encode_affine(coords, z, matrix, shift, spec,
+                                        tuple(rest))       # [N, Lr, F]
+        parts = {}
+        for i, lod in enumerate(rest):
+            parts[lod] = feats_rest[:, i]
+        for i, lod in enumerate(kernel_lods):
+            parts[lod] = decoded[:, i]
+        feats = jnp.stack([parts[l] for l in range(spec.num_lods)], axis=1)
+    else:
+        feats = decoded
     if lod_mask is not None:
         feats = feats * lod_mask[None, :, None]
     if cfg.multiscale_type == 'cat':

@@ -53,6 +53,11 @@ N_CELLS = GROUP_RES ** 3
 N_NEIGH = NEIGH ** 3     # 64
 
 
+DIRECT_MARGIN = 1.0 / 32.0  # static seg-cover slack for direct-LOD slabs
+                            # ([0,1] coords); callers validate seg_half01
+                            # against it (validate_paged_cover)
+
+
 def lod_is_paged(res: int, spec: HashGridSpec) -> bool:
     """True when a LOD uses the paged fast path: hashed, divisible table,
     and fine enough that a grouping cell's 4^3 page neighborhood provably
@@ -74,6 +79,17 @@ def paged_lods(spec: HashGridSpec):
     return non, pag
 
 
+def blocklocal_lods(spec: HashGridSpec):
+    """(rest, direct, paged) LOD index tuples.  ``direct`` (dense tables) and
+    ``paged`` (hashed, page-divisible) LODs run inside the block-local
+    kernels; ``rest`` (hashed but unpageable) need the plain XLA path."""
+    non, pag = paged_lods(spec)
+    direct = tuple(l for l in non if use_direct_index(
+        spec.resolutions[l], spec.codebook_size, spec.dim))
+    rest = tuple(l for l in non if l not in direct)
+    return rest, direct, pag
+
+
 def validate_paged_cover(spec: HashGridSpec, seg_half01: float):
     """Raise unless every paged LOD's corner pages provably lie in the
     4^3 neighborhood of the sample's grouping cell.
@@ -91,6 +107,102 @@ def validate_paged_cover(spec: HashGridSpec, seg_half01: float):
                     f'paged cover violated at res {res}: '
                     f'2*PAGE_RES*seg_half + PAGE_RES/res = {margin:.3f} >= 1; '
                     f'shorten segments or disable hash_layout=paged')
+    if seg_half01 > DIRECT_MARGIN:
+        raise ValueError(
+            f'segment half-length {seg_half01:.4f} (01 coords) exceeds the '
+            f'direct-LOD slab margin {DIRECT_MARGIN}; shorten segments or '
+            f'disable hash_layout=paged')
+
+
+# ---------------------------------------------------------------------------
+# Direct-LOD slabs: dense per-grouping-cell subboxes
+# ---------------------------------------------------------------------------
+
+def direct_slab_width(res: int, margin: float = DIRECT_MARGIN) -> int:
+    """Cells per axis of a grouping cell's subbox window at a direct LOD:
+    covers every corner cell of any sample within ``margin`` of the cell
+    (span (1/8 + 2*margin)*res, +1 for the floor straddle, +1 corner)."""
+    return min(int(np.ceil(res * (1.0 / GROUP_RES + 2.0 * margin))) + 2, res)
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_starts_np(res: int, margin: float = DIRECT_MARGIN):
+    """([GROUP_RES] int32 window starts per axis, width) for a direct LOD.
+    start[c] <= any corner cell of cell c's samples < start[c] + w."""
+    w = direct_slab_width(res, margin)
+    c = np.arange(GROUP_RES)
+    lo = np.floor((c / GROUP_RES - margin) * res).astype(np.int64)
+    return np.clip(lo, 0, res - w).astype(np.int32), w
+
+
+def _slab_tables(table, res: int, ld: int, margin: float):
+    """Dense direct-LOD table [res**3, ld] -> per-grouping-cell subbox slabs
+    [N_CELLS + 1, w*w, ld*w] in kernel layout (row = ly*w + lz,
+    col = d*w + lx; pad cell = zeros).  Three axis-gathers of 8*w static
+    rows each — no per-sample gathers."""
+    starts, w = _slab_starts_np(res, margin)
+    ix = jnp.asarray(starts[:, None] + np.arange(w)[None, :])   # [8, w]
+    g8 = GROUP_RES
+    t = table.reshape(res, res, res, ld)                        # [z, y, x, ld]
+    t = jnp.take(t, ix.reshape(-1), axis=0).reshape(g8, w, res, res, ld)
+    t = jnp.take(t, ix.reshape(-1), axis=2).reshape(g8, w, g8, w, res, ld)
+    t = jnp.take(t, ix.reshape(-1), axis=4).reshape(g8, w, g8, w, g8, w, ld)
+    # [cz, lz, cy, ly, cx, lx, ld] -> [cx, cy, cz, ly, lz, ld, lx]
+    t = t.transpose(4, 2, 0, 3, 1, 6, 5)
+    t = t.reshape(N_CELLS, w * w, ld * w)
+    return jnp.concatenate(
+        [t, jnp.zeros((1, w * w, ld * w), t.dtype)], axis=0)
+
+
+def _fold_window_axis(x, ixf, res: int):
+    """Overlap-add transpose of a window extraction: x [8*w, ...rest] with
+    static source rows ``ixf`` [8*w] -> [res, ...rest] (tiny-row scatter)."""
+    rest = x.shape[1:]
+    return jnp.zeros((res,) + rest, x.dtype).at[ixf].add(x)
+
+
+def _slab_grad_to_table(gslab, res: int, ld: int, margin: float):
+    """[N_CELLS + 1, w*w, ld*w] slab grads -> dense table grad [res**3, ld]
+    (axis-separable overlap-add; exact f32)."""
+    starts, w = _slab_starts_np(res, margin)
+    ixf = jnp.asarray((starts[:, None] + np.arange(w)[None, :]).reshape(-1))
+    g8 = GROUP_RES
+    g = gslab[:N_CELLS].reshape(g8, g8, g8, w, w, ld, w)
+    # [cx, cy, cz, ly, lz, ld, lx] -> fold x, then y, then z
+    g = g.transpose(0, 6, 1, 2, 3, 4, 5).reshape(g8 * w, g8, g8, w, w, ld)
+    g = _fold_window_axis(g, ixf, res)          # [x, cy, cz, ly, lz, ld]
+    g = g.transpose(1, 3, 0, 2, 4, 5).reshape(g8 * w, res, g8, w, ld)
+    g = _fold_window_axis(g, ixf, res)          # [y, x, cz, lz, ld]
+    g = g.transpose(2, 3, 0, 1, 4).reshape(g8 * w, res, res, ld)
+    g = _fold_window_axis(g, ixf, res)          # [z, y, x, ld]
+    return g.reshape(res ** 3, ld)
+
+
+def _slot_corner_data_direct(coords_s, block_cell, res: int,
+                             spec: HashGridSpec, margin: float):
+    """entry/psel/w for slotted samples at one direct (dense) LOD, in
+    slab-local coordinates: psel = lx in [0, w), entry = ly*w + lz.
+
+    Same contract as :func:`_slot_corner_data`; locals are clamped into the
+    window (only reachable for invalid slots / violated margins — valid
+    slots are covered by construction, see _slab_starts_np)."""
+    nb, b, _ = coords_s.shape
+    starts, w = _slab_starts_np(res, margin)
+    flat = coords_s.reshape(nb * b, 3)
+    pos, frac = _cell_and_frac(flat, res)
+    wgt = _corner_weights(frac, spec)                     # [N, C]
+    offs = jnp.asarray(spec.corner_offsets)
+    cpos = pos[:, None, :] + offs[None, :, :]             # [N, C, 3]
+    cc = block_cell[:, None].repeat(b, 1).reshape(nb * b)
+    cc = jnp.minimum(cc, N_CELLS - 1)                     # pad blocks: any
+    c3 = jnp.stack([cc // 64, (cc // 8) % 8, cc % 8], -1)  # [N, 3] (x, y, z)
+    st = jnp.take(jnp.asarray(starts), c3)                # [N, 3]
+    local = jnp.clip(cpos - st[:, None, :], 0, w - 1)     # [N, C, 3]
+    psel = local[..., 0]                                  # lx
+    entry = local[..., 1] * w + local[..., 2]             # ly*w + lz
+    to_blk = lambda a: a.reshape(nb, b, -1).transpose(0, 2, 1)
+    return (to_blk(entry).astype(jnp.int32), to_blk(psel).astype(jnp.int32),
+            to_blk(wgt))
 
 
 # ---------------------------------------------------------------------------
@@ -242,54 +354,113 @@ def _slot_corner_data(coords_s, block_cell, res: int, spec: HashGridSpec,
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(bc_ref, ent_ref, psel_ref, w_ref, neigh_ref, out_ref, *,
-                   C, B, E, LD, dtype):
-    # one fused [E, C*B] one-hot against the block's neighborhood: a single
-    # MXU contraction instead of C small ones (C=8 corners)
-    neigh = neigh_ref[0].astype(dtype)                    # [E, LD*64]
-    ent = ent_ref[0].reshape(C * B)                       # corner-major
-    psel = psel_ref[0].reshape(C * B)
-    w = w_ref[0].reshape(C * B)
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, C * B), 0)
+def _lod_gather(ent, psel, wgt, tab, E, NP, C, B, LD, dtype):
+    """One LOD's block encode: fused [E, C*B] one-hot entry contraction on
+    the MXU, then a [NP, C*B] one-hot page/line select and corner sum.
+
+    ent/psel/wgt: [C, B] refs' loaded blocks; tab: [E, LD*NP] resident
+    window (page neighborhood or dense slab).  Returns [LD, B] f32.
+    """
+    cb = C * B
+    ent = ent.reshape(cb)                                 # corner-major
+    psel = psel.reshape(cb)
+    wgt = wgt.reshape(cb)
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, cb), 0)
     a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
-    g = jax.lax.dot_general(neigh, a, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (N_NEIGH, C * B), 0)
-    m = (psel[None, :] == p_iota).astype(jnp.float32)     # [64, C*B]
+    g = jax.lax.dot_general(tab.astype(dtype), a, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [LD*NP, cb]
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
+    m = (psel[None, :] == p_iota).astype(jnp.float32)     # [NP, C*B]
     accs = []
-    for l in range(LD):
-        sel = jnp.sum(g[l * N_NEIGH:(l + 1) * N_NEIGH, :] * m, axis=0)
-        accs.append(jnp.sum((w * sel).reshape(C, B), axis=0))
-    out_ref[0] = jnp.stack(accs)                          # [LD, B]
+    for d in range(LD):
+        sel = jnp.sum(g[d * NP:(d + 1) * NP, :] * m, axis=0)
+        accs.append(jnp.sum((wgt * sel).reshape(C, B), axis=0))
+    return jnp.stack(accs)                                # [LD, B]
 
 
-def _scatter_kernel(bc_ref, ent_ref, psel_ref, w_ref, g_ref, out_ref, *,
-                    C, B, E, LD, dtype):
+def _lod_scatter(ent, psel, wgt, gl, E, NP, C, B, LD, dtype):
+    """One LOD's block backward: [E, C*B] x [C*B, LD*NP] MXU contraction.
+    gl: [LD, B] output grad.  Returns the window grad [E, LD*NP] f32."""
+    cb = C * B
+    ent = ent.reshape(cb)
+    psel = psel.reshape(cb)
+    wgt = wgt.reshape(cb)
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, cb), 0)
+    a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
+    m = (psel[None, :] == p_iota).astype(jnp.float32)     # [NP, C*B]
+    rows = []
+    for d in range(LD):
+        gd = (jnp.broadcast_to(gl[d][None, :], (C, B)).reshape(cb) * wgt)
+        rows.append(m * gd[None, :])                      # [NP, C*B]
+    dg = jnp.concatenate(rows, axis=0).astype(dtype)      # [LD*NP, C*B]
+    return jax.lax.dot_general(a, dg, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _gather_kernel(*args, LP, WS, C, B, E, LD, dtype):
+    """All block-local LODs (direct slabs + paged neighborhoods) in one grid
+    pass — amortizes per-step overhead and window streaming over the whole
+    LOD stack.
+
+    args (after the scalar-prefetched block index bc): if WS:
+    ent_d/psel_d/w_d [1, Ld, C, B] + one slab ref [1, w*w, LD*w] per direct
+    LOD; if LP: ent_p/psel_p/w_p [1, LP, C, B] + neigh [1, LP, E, LD*64];
+    then out [1, Ld+LP, LD, B].  Output rows follow ascending LOD order
+    (direct LODs are the coarser prefix)."""
+    it = iter(args)
+    next(it)                                              # bc_ref (unused)
+    if WS:
+        ent_d, psel_d, w_d = next(it), next(it), next(it)
+        slabs = [next(it) for _ in WS]
+    if LP:
+        ent_p, psel_p, w_p, neigh = next(it), next(it), next(it), next(it)
+    out_ref = next(it)
+    li = 0
+    for di, w in enumerate(WS):
+        out_ref[0, li] = _lod_gather(
+            ent_d[0, di], psel_d[0, di], w_d[0, di], slabs[di][0],
+            E=w * w, NP=w, C=C, B=B, LD=LD, dtype=dtype)
+        li += 1
+    for pi in range(LP):
+        out_ref[0, li] = _lod_gather(
+            ent_p[0, pi], psel_p[0, pi], w_p[0, pi], neigh[0, pi],
+            E=E, NP=N_NEIGH, C=C, B=B, LD=LD, dtype=dtype)
+        li += 1
+
+
+def _scatter_kernel(*args, LP, WS, C, B, E, LD, dtype):
+    """Backward of :func:`_gather_kernel`: per-grouping-cell window partials
+    for every LOD, accumulated across consecutive same-cell blocks."""
+    it = iter(args)
+    bc_ref = next(it)
+    if WS:
+        ent_d, psel_d, w_d = next(it), next(it), next(it)
+    if LP:
+        ent_p, psel_p, w_p = next(it), next(it), next(it)
+    g_ref = next(it)
+    outs = list(it)                  # [out_d_0.. out_d_{Ld-1}], out_p?
+
     i = pl.program_id(0)
     prev = bc_ref[jnp.maximum(i - 1, 0)]
     first = (i == 0) | (bc_ref[i] != prev)
 
     @pl.when(first)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        for o in outs:
+            o[:] = jnp.zeros_like(o)
 
-    # fused corners: one [E, C*B] x [C*B, LD*64] MXU contraction
-    ent = ent_ref[0].reshape(C * B)
-    psel = psel_ref[0].reshape(C * B)
-    w = w_ref[0].reshape(C * B)
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, C * B), 0)
-    a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (N_NEIGH, C * B), 0)
-    m = (psel[None, :] == p_iota).astype(jnp.float32)     # [64, C*B]
-    rows = []
-    for l in range(LD):
-        gl = (jnp.broadcast_to(g_ref[0, l, :][None, :], (C, B))
-              .reshape(C * B) * w)
-        rows.append(m * gl[None, :])                      # [64, C*B]
-    dg = jnp.concatenate(rows, axis=0).astype(dtype)      # [LD*64, C*B]
-    out_ref[0] += jax.lax.dot_general(
-        a, dg, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [E, LD*64]
+    li = 0
+    for di, w in enumerate(WS):
+        outs[di][0] += _lod_scatter(
+            ent_d[0, di], psel_d[0, di], w_d[0, di], g_ref[0, li],
+            E=w * w, NP=w, C=C, B=B, LD=LD, dtype=dtype)
+        li += 1
+    for pi in range(LP):
+        outs[len(WS)][0, pi] += _lod_scatter(
+            ent_p[0, pi], psel_p[0, pi], w_p[0, pi], g_ref[0, li],
+            E=E, NP=N_NEIGH, C=C, B=B, LD=LD, dtype=dtype)
+        li += 1
 
 
 def _neigh_table(table, e: int, ld: int):
@@ -305,72 +476,42 @@ def _neigh_table(table, e: int, ld: int):
     return neigh.transpose(0, 2, 3, 1).reshape(N_CELLS + 1, e, ld * N_NEIGH)
 
 
-def _paged_interp_lod_fwd_impl(coords_s, block_cell, table, res: int,
-                               spec: HashGridSpec, interpret: bool,
-                               dtype):
-    nb, b, _ = coords_s.shape
-    cs = spec.codebook_size
-    _, e = paged_params(res, cs, 3)
-    ld = table.shape[-1]
-    c = 2 ** spec.dim
-    ent, psel, w = _slot_corner_data(coords_s, block_cell, res, spec, e)
-    neigh = _neigh_table(table, e, ld)
-    out = pl.pallas_call(
-        functools.partial(_gather_kernel, C=c, B=b, E=e, LD=ld, dtype=dtype),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((1, c, b), lambda i, bc: (i, 0, 0)),
-                pl.BlockSpec((1, c, b), lambda i, bc: (i, 0, 0)),
-                pl.BlockSpec((1, c, b), lambda i, bc: (i, 0, 0)),
-                pl.BlockSpec((1, e, ld * N_NEIGH),
-                             lambda i, bc: (bc[i], 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, ld, b), lambda i, bc: (i, 0, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((nb, ld, b), jnp.float32),
-        interpret=interpret,
-    )(block_cell, ent, psel, w, neigh)
-    return out, (ent, psel, w)
+def _fold_page_axis(x):
+    """[8 (cell), 4 (offset), ...rest] -> [16 (page), ...rest] along one
+    axis of the page-neighborhood reduction: page = clip(2c - 1 + o, 0, 15).
+    Pure static-slice adds — the axis-separable overlap-add that replaces a
+    [32768, 4096] one-hot matmul reduce."""
+    rest = x.shape[2:]
+    ext = jnp.zeros((9, 2) + rest, x.dtype)
+    ext = ext.at[0:8, 0].add(x[:, 0])
+    ext = ext.at[0:8, 1].add(x[:, 1])
+    ext = ext.at[1:9, 0].add(x[:, 2])
+    ext = ext.at[1:9, 1].add(x[:, 3])
+    ext = ext.reshape((18,) + rest)                       # ext[m] = 2c + o
+    lo = (ext[0] + ext[1])[None]                          # pages clip at 0
+    hi = (ext[16] + ext[17])[None]                        # ... and at 15
+    return jnp.concatenate([lo, ext[2:16], hi], axis=0)   # [16, ...]
 
 
-def _paged_interp_lod_bwd_impl(ent, psel, w, g_blocks, block_cell, cell_used,
-                               res: int, spec: HashGridSpec, ld: int,
-                               interpret: bool, dtype):
-    """g_blocks [NB, LD, B] -> grad table [cs, ld] (f32)."""
-    from shacira_tpu.ops import pallas_scatter
-    nb, c, b = ent.shape
-    cs = spec.codebook_size
-    p, e = paged_params(res, cs, 3)
-    partials = pl.pallas_call(
-        functools.partial(_scatter_kernel, C=c, B=b, E=e, LD=ld, dtype=dtype),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((1, c, b), lambda i, bc: (i, 0, 0)),
-                pl.BlockSpec((1, c, b), lambda i, bc: (i, 0, 0)),
-                pl.BlockSpec((1, c, b), lambda i, bc: (i, 0, 0)),
-                pl.BlockSpec((1, ld, b), lambda i, bc: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, e, ld * N_NEIGH),
-                                   lambda i, bc: (bc[i], 0, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((N_CELLS + 1, e, ld * N_NEIGH),
-                                       jnp.float32),
-        interpret=interpret,
-    )(block_cell, ent, psel, w, g_blocks)
-    # unvisited cells hold garbage — mask, then reduce neighborhoods to pages
-    mask = jnp.concatenate([cell_used, jnp.zeros((1,), bool)])
-    partials = jnp.where(mask[:, None, None], partials[:N_CELLS + 1], 0.0)
-    partials = partials[:N_CELLS]
-    rows = partials.reshape(N_CELLS, e, ld, N_NEIGH).transpose(0, 3, 1, 2)
-    rows = rows.reshape(N_CELLS * N_NEIGH, e * ld)
-    dst = jnp.asarray(_neighbor_pages_np()).reshape(-1)
-    grad_pages = pallas_scatter.onehot_scatter_add(
-        dst, rows, p, interpret=interpret, compute_dtype=jnp.float32)
-    return grad_pages.reshape(cs, ld)
+def _pages_from_cells(partials, e: int, ld: int, lp: int):
+    """Reduce per-grouping-cell neighborhood partials to per-page grads.
+
+    partials: [N_CELLS, LP, e, ld*64] (col = d*64 + slot,
+    slot = (i*4 + j)*4 + k).  Returns [LP, cs, ld] f32 — exact, separable
+    per axis (see _fold_page_axis)."""
+    f = lp * e * ld
+    x = partials.reshape(N_CELLS, lp, e, ld, 4, 4, 4)
+    x = x.transpose(0, 4, 5, 6, 1, 2, 3)                  # [cells, i, j, k, F]
+    x = x.reshape(GROUP_RES, GROUP_RES, GROUP_RES, 4, 4, 4, f)
+    x = x.transpose(0, 3, 1, 2, 4, 5, 6)                  # [cx, i, cy, cz, j, k, F]
+    x = _fold_page_axis(x)                                # [px, cy, cz, j, k, F]
+    x = x.transpose(1, 3, 0, 2, 4, 5)                     # [cy, j, px, cz, k, F]
+    x = _fold_page_axis(x)                                # [py, px, cz, k, F]
+    x = x.transpose(2, 3, 0, 1, 4)                        # [cz, k, py, px, F]
+    x = _fold_page_axis(x)                                # [pz, py, px, F]
+    x = x.transpose(2, 1, 0, 3)                           # [px, py, pz, F]
+    x = x.reshape(PAGE_RES ** 3, lp, e, ld)
+    return x.transpose(1, 0, 2, 3).reshape(lp, PAGE_RES ** 3 * e, ld)
 
 
 # ---------------------------------------------------------------------------
@@ -381,45 +522,71 @@ def _paged_interp_lod_bwd_impl(ent, psel, w, g_blocks, block_cell, cell_used,
 class PagedStatic:
     """Static closure for paged_interp_lods (hashable; nondiff)."""
     spec: HashGridSpec
-    lods: tuple            # paged LOD indices
+    lods: tuple              # paged LOD indices
+    direct_lods: tuple = ()  # direct LODs run in-kernel via dense slabs
     interpret: bool = False
     use_bf16: bool = True
+    margin: float = DIRECT_MARGIN
+
+    @property
+    def all_lods(self):
+        """Kernel output order: direct LODs (the coarser prefix), then
+        paged — ascending LOD index overall."""
+        return tuple(self.direct_lods) + tuple(self.lods)
 
     @property
     def dtype(self):
         return jnp.bfloat16 if self.use_bf16 else jnp.float32
 
 
-def default_static(spec, interpret: bool = None, use_bf16: bool = True):
-    _, pag = paged_lods(spec)
+def default_static(spec, interpret: bool = None, use_bf16: bool = True,
+                   include_direct: bool = False):
+    rest, direct, pag = blocklocal_lods(spec)
     if interpret is None:
         try:
             interpret = jax.devices()[0].platform not in ('tpu', 'axon')
         except Exception:
             interpret = True
-    return PagedStatic(spec=spec, lods=pag, interpret=interpret,
-                       use_bf16=use_bf16)
+    return PagedStatic(spec=spec, lods=pag,
+                       direct_lods=direct if include_direct else (),
+                       interpret=interpret, use_bf16=use_bf16)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def paged_interp_lods(coords_s, slot_valid, block_cell, cell_used, z,
                       static: PagedStatic):
-    """Interpolate the paged LODs' latents at slotted sample coords.
+    """Interpolate the block-local LODs' latents at slotted sample coords.
+
+    Covers ``static.direct_lods`` (dense tables via per-grouping-cell
+    slabs) and ``static.lods`` (paged hashed tables via 4^3 page
+    neighborhoods) in one fused Pallas pass per direction.
 
     Args:
         coords_s: [NS, 3] slot coords in [-1, 1] (NS = n_blocks * B).
         slot_valid: [NS] bool.
         block_cell: [n_blocks] int32 grouping cell (N_CELLS for pads).
         cell_used: [N_CELLS] bool.
-        z: [total_size, ld] full codebook (only paged LOD ranges are read;
+        z: [total_size, ld] full codebook (only covered LOD ranges are read;
             grads are zero elsewhere).
-        static: PagedStatic (spec, paged lod indices, interpret/dtype).
+        static: PagedStatic (spec, lod index tuples, interpret/dtype).
     Returns:
-        [NS, n_paged, ld] f32 interpolated latents (invalid slots zero).
+        [NS, len(static.all_lods), ld] f32 interpolated latents in ascending
+        LOD order (invalid slots zero).
     """
     out, _ = _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z,
                              static)
     return out
+
+
+def _lod_table(z, spec, lod):
+    return jax.lax.dynamic_slice_in_dim(
+        z, spec.lod_first_idx[lod], spec.lod_sizes[lod], axis=0)
+
+
+def _slab_widths(static: PagedStatic):
+    return tuple(direct_slab_width(static.spec.resolutions[lod],
+                                   static.margin)
+                 for lod in static.direct_lods)
 
 
 def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
@@ -428,24 +595,71 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
     ns = coords_s.shape[0]
     b = ns // nb
     ld = z.shape[-1]
+    c = 2 ** spec.dim
+    lods_d, lods_p = static.direct_lods, static.lods
+    l_total = len(lods_d) + len(lods_p)
+    if l_total == 0:
+        return jnp.zeros((ns, 0, ld)), None
     cs3 = coords_s.reshape(nb, b, 3)
-    outs, residuals = [], []
-    for lod in static.lods:
-        res = spec.resolutions[lod]
-        first = spec.lod_first_idx[lod]
-        size = spec.lod_sizes[lod]
-        table = jax.lax.dynamic_slice_in_dim(z, first, size, axis=0)
-        out, (ent, psel, w) = _paged_interp_lod_fwd_impl(
-            cs3, block_cell, table, res, spec, static.interpret,
-            static.dtype)
-        w = w * slot_valid.reshape(nb, b).astype(jnp.float32)[:, None, :]
-        # recompute fwd masking: invalid slots must produce zeros
-        out = out * slot_valid.reshape(nb, b).astype(
-            jnp.float32)[:, None, :]
-        outs.append(out.transpose(0, 2, 1).reshape(ns, ld))
-        residuals.append((ent, psel, w))
-    stacked = jnp.stack(outs, axis=1) if outs else jnp.zeros((ns, 0, ld))
-    return stacked, residuals
+    ws = _slab_widths(static)
+
+    ins, in_specs = [], []
+    res_d = res_p = None
+    if lods_d:
+        cdata = [_slot_corner_data_direct(cs3, block_cell,
+                                          spec.resolutions[lod], spec,
+                                          static.margin)
+                 for lod in lods_d]
+        res_d = tuple(jnp.stack([cd[i] for cd in cdata], axis=1)
+                      for i in range(3))                   # [NB, Ld, C, B] x3
+        slabs = [_slab_tables(_lod_table(z, spec, lod),
+                              spec.resolutions[lod], ld, static.margin)
+                 for lod in lods_d]
+        ins += list(res_d) + slabs
+        blk = pl.BlockSpec((1, len(lods_d), c, b), lambda i, bc: (i, 0, 0, 0))
+        in_specs += [blk] * 3
+        in_specs += [pl.BlockSpec((1, w * w, ld * w),
+                                  lambda i, bc: (bc[i], 0, 0))
+                     for w in ws]
+    if lods_p:
+        e = paged_params(spec.resolutions[lods_p[0]], spec.codebook_size,
+                         3)[1]
+        cdata = [_slot_corner_data(cs3, block_cell, spec.resolutions[lod],
+                                   spec, e)
+                 for lod in lods_p]
+        res_p = tuple(jnp.stack([cd[i] for cd in cdata], axis=1)
+                      for i in range(3))                   # [NB, Lp, C, B] x3
+        neigh = jnp.stack([_neigh_table(_lod_table(z, spec, lod), e, ld)
+                           for lod in lods_p], axis=1)
+        ins += list(res_p) + [neigh]
+        blk = pl.BlockSpec((1, len(lods_p), c, b), lambda i, bc: (i, 0, 0, 0))
+        in_specs += [blk] * 3
+        in_specs += [pl.BlockSpec((1, len(lods_p), e, ld * N_NEIGH),
+                                  lambda i, bc: (bc[i], 0, 0, 0))]
+    else:
+        e = 0
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, LP=len(lods_p), WS=ws, C=c, B=b,
+                          E=e, LD=ld, dtype=static.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, l_total, ld, b),
+                                   lambda i, bc: (i, 0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, l_total, ld, b), jnp.float32),
+        interpret=static.interpret,
+    )(block_cell, *ins)
+
+    sv = slot_valid.reshape(nb, b).astype(jnp.float32)
+    out = out * sv[:, None, None, :]
+    stacked = out.transpose(0, 3, 1, 2).reshape(ns, l_total, ld)
+    # residual w masked so invalid slots contribute zero grads
+    mask_w = lambda r: (r[0], r[1], r[2] * sv[:, None, None, :])
+    return stacked, (mask_w(res_d) if res_d else None,
+                     mask_w(res_p) if res_p else None)
 
 
 def _paged_fwd(coords_s, slot_valid, block_cell, cell_used, z, static):
@@ -460,20 +674,73 @@ def _paged_bwd(static, saved, g):
     zdtype = z_meta.dtype
     spec = static.spec
     nb = block_cell.shape[0]
-    grads = []
-    pieces = {}
-    for li, lod in enumerate(static.lods):
-        ent, psel, w = residuals[li]
-        _, c, b = ent.shape
-        ld = g.shape[-1]
-        gl = g[:, li, :].reshape(nb, b, ld).transpose(0, 2, 1)  # [NB, LD, B]
-        gl = gl.astype(jnp.float32)
-        gt = _paged_interp_lod_bwd_impl(
-            ent, psel, w, gl, block_cell, cell_used,
-            spec.resolutions[lod], spec, ld, static.interpret, static.dtype)
-        pieces[lod] = gt
-    # assemble full-codebook grad (zeros outside paged LOD ranges)
     ld = g.shape[-1]
+    c = 2 ** spec.dim
+    lods_d, lods_p = static.direct_lods, static.lods
+    l_total = len(lods_d) + len(lods_p)
+    if l_total == 0:
+        zeros = jnp.zeros((spec.total_size, ld), jnp.float32).astype(zdtype)
+        return None, None, None, None, zeros
+    res_d, res_p = residuals
+    ws = _slab_widths(static)
+    b = res_d[0].shape[-1] if res_d else res_p[0].shape[-1]
+    e = (paged_params(spec.resolutions[lods_p[0]], spec.codebook_size, 3)[1]
+         if lods_p else 0)
+
+    gl = g.reshape(nb, b, l_total, ld).transpose(0, 2, 3, 1)  # [NB, L, LD, B]
+    gl = gl.astype(jnp.float32)
+
+    ins, in_specs, out_shapes, out_specs = [], [], [], []
+    if lods_d:
+        ins += list(res_d)
+        blk = pl.BlockSpec((1, len(lods_d), c, b), lambda i, bc: (i, 0, 0, 0))
+        in_specs += [blk] * 3
+        for w in ws:
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (N_CELLS + 1, w * w, ld * w), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, w * w, ld * w),
+                                          lambda i, bc: (bc[i], 0, 0)))
+    if lods_p:
+        ins += list(res_p)
+        blk = pl.BlockSpec((1, len(lods_p), c, b), lambda i, bc: (i, 0, 0, 0))
+        in_specs += [blk] * 3
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (N_CELLS + 1, len(lods_p), e, ld * N_NEIGH), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, len(lods_p), e, ld * N_NEIGH),
+                                      lambda i, bc: (bc[i], 0, 0, 0)))
+    ins.append(gl)
+    in_specs.append(pl.BlockSpec((1, l_total, ld, b),
+                                 lambda i, bc: (i, 0, 0, 0)))
+
+    partials = pl.pallas_call(
+        functools.partial(_scatter_kernel, LP=len(lods_p), WS=ws, C=c, B=b,
+                          E=e, LD=ld, dtype=static.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shapes,
+        interpret=static.interpret,
+    )(block_cell, *ins)
+    if not isinstance(partials, (list, tuple)):
+        partials = [partials]
+    partials = list(partials)
+
+    # unvisited cells hold garbage — mask before reducing to tables
+    mask = jnp.concatenate([cell_used, jnp.zeros((1,), bool)])
+    pieces = {}
+    for di, lod in enumerate(lods_d):
+        pd = jnp.where(mask[:, None, None], partials[di], 0.0)
+        pieces[lod] = _slab_grad_to_table(pd, spec.resolutions[lod], ld,
+                                          static.margin)
+    if lods_p:
+        pp = jnp.where(mask[:, None, None, None], partials[len(lods_d)], 0.0)
+        tables = _pages_from_cells(pp[:N_CELLS], e, ld, len(lods_p))
+        for pi, lod in enumerate(lods_p):
+            pieces[lod] = tables[pi]
+
     parts = []
     for lod in range(spec.num_lods):
         if lod in pieces:

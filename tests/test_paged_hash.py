@@ -175,6 +175,51 @@ def test_paged_interp_matches_xla_reference(ld):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize('ld', [1, 2])
+def test_blocklocal_direct_matches_xla_reference(ld):
+    """Direct (dense) LODs in-kernel via per-cell slabs == plain gather,
+    forward and gradient, alongside the paged LODs in the same fused pass."""
+    rng = np.random.default_rng(7)
+    spec = _paged_spec((17, 24, 48, 81, 128), bw=17)
+    rest, direct, pag = ph.blocklocal_lods(spec)
+    assert not rest and len(direct) >= 2 and len(pag) >= 2
+    k_seg, g, spb = 200, 4, 4
+    coords, centers, live = _fake_segments(rng, k_seg, g)
+    n_blocks = -(-k_seg // spb) + ph.N_CELLS
+    grp = ph.group_segments(centers, live, spb, n_blocks)
+    ns = grp['slotseg_to_seg'].shape[0] * g
+
+    z = jnp.asarray(rng.normal(size=(spec.total_size, ld)), jnp.float32)
+    rows = coords.reshape(k_seg, g * 3)
+    safe = jnp.minimum(grp['slotseg_to_seg'], k_seg - 1)
+    slot_rows = jnp.take(rows, safe, axis=0)
+    slot_valid_seg = grp['slotseg_to_seg'] < k_seg
+    coords_s = jnp.where(slot_valid_seg[:, None], slot_rows,
+                         0.0).reshape(ns, 3)
+    slot_valid = jnp.repeat(slot_valid_seg, g)
+
+    static = ph.PagedStatic(spec=spec, lods=pag, direct_lods=direct,
+                            interpret=True, use_bf16=False)
+    lods = list(static.all_lods)
+    assert lods == sorted(lods)
+    out = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
+                               grp['cell_used'], z, static)
+    ref = hg.hash_encode(coords_s, z, spec)[:, lods, :] \
+        * slot_valid[:, None, None]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    r = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    gk = jax.grad(lambda zz: jnp.sum(ph.paged_interp_lods(
+        coords_s, slot_valid, grp['block_cell'], grp['cell_used'],
+        zz, static) * r))(z)
+    gr = jax.grad(lambda zz: jnp.sum(
+        hg.hash_encode(coords_s, zz, spec)[:, lods, :]
+        * slot_valid[:, None, None] * r))(z)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_paged_trainer_matches_xor_end_to_end():
     """MultiviewTrainer with hash_layout='paged' + eval_seg_budget trains and
