@@ -49,7 +49,8 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
                                     segment_size=16, coarse_level=coarse_level,
                                     seg_dilation=seg_dilation,
                                     seg_budget=seg_budget,
-                                    eval_seg_budget=24576 if paged else 0)
+                                    eval_seg_budget=24576 if paged else 0,
+                                    fine_mode='deferred' if paged else 'exact')
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  use_sga=True, temperature=1.0,
                                  entropy_reg=1e-4, entropy_reg_end=1e-4)

@@ -148,6 +148,8 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # --hash-layout paged on the grid
     g.add_argument('--eval-seg-budget', type=int, default=0)
     g.add_argument('--group-segs-per-block', type=int, default=8)
+    g.add_argument('--fine-mode', type=str, default='exact',
+                   choices=('exact', 'deferred'))
 
     g = parser.add_argument_group('net')  # nerf nef extras
     g.add_argument('--view-embedder', type=str, default='positional')
@@ -366,4 +368,5 @@ def build_tracer_config(args):
         seg_budget=args.seg_budget, coarse_level=args.coarse_level,
         seg_dilation=args.seg_dilation,
         eval_seg_budget=args.eval_seg_budget,
-        group_segs_per_block=args.group_segs_per_block)
+        group_segs_per_block=args.group_segs_per_block,
+        fine_mode=args.fine_mode)

@@ -57,6 +57,16 @@ class RFTracerConfig:
     # max_samples for the MLP.  Requires an encode/head-split field.
     eval_seg_budget: int = 0
     group_segs_per_block: int = 8  # segments per paged-kernel block
+    # 'exact': per-sample fine occupancy is queried for ALL stage-1 segments
+    # (seg_budget of them) and stage-2 keeps only fine-occupied segments.
+    # 'deferred' (paged path only): stage-2 keeps the coarse-live prefix —
+    # the already-validated conservative midpoint test — and the per-sample
+    # fine query runs only on the eval_seg_budget survivors (~5x fewer
+    # rows; the gather-latency fine query is a top step cost).  Renders
+    # identically when eval_seg_budget covers the fine-live segments; under
+    # budget pressure coarse-live-but-fine-empty segments can evict real
+    # ones (same stride-uniform drop rule as 'exact').
+    fine_mode: str = 'exact'       # 'exact' | 'deferred'
 
 
 def integration_weights(density, deltas, mask):
@@ -260,7 +270,7 @@ def coarse_dilated_occupancy(occ_state, occ_cfg: occ.OccupancyGridConfig,
 
 
 def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
-                         rays: Rays, rng):
+                         rays: Rays, rng, defer_fine: bool = False):
     """'ray' marching with segment-level coarse culling (see RFTracerConfig).
 
     Sampling is identical to raymarch_ray (same jitter draw), so with
@@ -310,7 +320,13 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
     o_s = jnp.take(rays.origins, r_id, axis=0)
     d_s = jnp.take(rays.dirs, r_id, axis=0)
     samples_s = o_s[:, None, :] + d_s[:, None, :] * depth_s[..., None]
-    fine = occ.query(occ_state, occ_cfg, samples_s) & seg_valid[:, None]
+    if defer_fine:
+        # deferred fine mode: liveness is the (conservative) coarse midpoint
+        # test that stage-1 compaction already keyed on; the per-sample fine
+        # query runs in _trace_paged on the eval_seg_budget survivors only
+        fine = jnp.broadcast_to(seg_valid[:, None], (k_seg, G))
+    else:
+        fine = occ.query(occ_state, occ_cfg, samples_s) & seg_valid[:, None]
 
     # segment-major arrays over [k_seg, G]; segments ascend in (ray, depth)
     # order over the live prefix (stable compaction), as the compact
@@ -336,26 +352,43 @@ def _flatten_segs(seg):
 
 
 def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
-                 num_rays: int, finish_fn=None):
+                 num_rays: int, finish_fn=None, fine_qfn=None):
     """Segment-grouped paged trace: second-stage segment compaction,
     coarse-cell grouping, paged grid encode on all segment rows, then
     row-level compaction for the MLP head and compact integration.
 
     With ``finish_fn`` (the deferred-direct split), ``encode_fn`` returns
     only the paged LODs' narrow latents and ``finish_fn(zbar_c, coords_c)``
-    completes the features on the compacted rows."""
+    completes the features on the compacted rows.
+
+    With ``fine_qfn`` (fine_mode='deferred'), ``seg['mask']`` is the
+    broadcast coarse liveness: stage-1 already compacted live segments into
+    a stable-ordered prefix, so stage-2 compaction is a strided gather of
+    that prefix (equal to _stride_compact on a prefix mask, minus its
+    cumsum + scatter), and the per-sample fine mask is queried here on the
+    eval_seg_budget survivors only."""
     from shacira_tpu.ops import paged_hash as ph
 
     g = cfg.segment_size
     k2 = cfg.eval_seg_budget
     spb = cfg.group_segs_per_block
-    live = seg['mask'].any(axis=-1)
-    src2, valid2, _ = _stride_compact(live, k2)
+    if fine_qfn is not None:
+        n_live = jnp.sum(seg['seg_valid'])
+        stride = jnp.maximum(1, -(-n_live // k2))
+        src2 = jnp.arange(k2, dtype=jnp.int32) * stride
+        valid2 = src2 < n_live
+        src2 = jnp.minimum(src2, seg['seg_valid'].shape[0] - 1)
+    else:
+        live = seg['mask'].any(axis=-1)
+        src2, valid2, _ = _stride_compact(live, k2)
     take = lambda a: jnp.take(a.reshape(a.shape[0], -1), src2,
                               axis=0)
     samples2 = take(seg['samples']).reshape(k2, g, 3)
     dirs2 = take(seg['dirs']).reshape(k2, g, 3)
-    fine2 = take(seg['mask']).reshape(k2, g) & valid2[:, None]
+    if fine_qfn is not None:
+        fine2 = fine_qfn(samples2) & valid2[:, None]
+    else:
+        fine2 = take(seg['mask']).reshape(k2, g) & valid2[:, None]
     depth2 = take(seg['depth']).reshape(k2, g)
     delta2 = take(seg['deltas']).reshape(k2, g)
     ray2 = take(seg['ray']).reshape(k2, g)
@@ -414,15 +447,20 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
     R = rays.origins.shape[0]
     if (cfg.raymarch_type == 'ray' and cfg.segment_size > 0
             and cfg.max_samples > 0):
+        paged = encode_split is not None and cfg.eval_seg_budget > 0
+        defer = paged and cfg.fine_mode == 'deferred'
         seg = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays,
-                                   rng)
-        if encode_split is not None and cfg.eval_seg_budget > 0:
+                                   rng, defer_fine=defer)
+        if paged:
+            fine_qfn = ((lambda s: occ.query(occ_state, occ_cfg, s))
+                        if defer else None)
             if len(encode_split) == 3:      # (zbar_fn, finish_fn, head_fn)
                 out = _trace_paged(encode_split[0], encode_split[2], seg,
-                                   cfg, R, finish_fn=encode_split[1])
+                                   cfg, R, finish_fn=encode_split[1],
+                                   fine_qfn=fine_qfn)
             else:
                 out = _trace_paged(encode_split[0], encode_split[1], seg,
-                                   cfg, R)
+                                   cfg, R, fine_qfn=fine_qfn)
         else:
             out = _trace_compact_flat(field_fn, _flatten_segs(seg),
                                       cfg.max_samples, R)

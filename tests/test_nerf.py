@@ -300,6 +300,59 @@ def test_segmented_trace_budget_truncation_is_graceful():
     assert float(jnp.max(out['alpha'])) <= 1.0 + 1e-5
 
 
+def test_deferred_fine_mode_matches_exact():
+    """fine_mode='deferred' (paged path): coarse-prefix stage-2 compaction +
+    late per-sample fine query renders exactly what 'exact' renders when
+    eval_seg_budget covers the live segments, including under budget
+    truncation parity (same stride-uniform drop rule)."""
+    cfg = occ.OccupancyGridConfig(level=5)
+    state = occ.occupancy_init(cfg)
+    res = cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.55 ** 2
+    state = {**state, 'occ': jnp.asarray(sphere)}
+
+    def encode_fn(coords, grouping):
+        return jnp.concatenate([jnp.sin(2.0 * coords), coords ** 2], -1)
+
+    def head_fn(feats, dirs):
+        color = 0.5 + 0.4 * jnp.tanh(feats[..., :3] + dirs)
+        density = 3.0 * jax.nn.sigmoid(jnp.sum(feats[..., 3:], -1,
+                                               keepdims=True))
+        return color, density
+
+    R, S = 48, 256
+    rng_rays = np.random.RandomState(3)
+    o = np.asarray([[2.0, 0.3, 0.1]], np.float32) + np.zeros((R, 3),
+                                                             np.float32)
+    to_pts = rng_rays.uniform(-0.8, 0.8, (R, 3)).astype(np.float32)
+    d = to_pts - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(o, d, 0.0, 4.0)
+    key = jax.random.PRNGKey(11)
+
+    def run(fine_mode, k2):
+        tc = rf_tracer.RFTracerConfig(
+            raymarch_type='ray', num_steps=S, bg_color='white',
+            max_samples=4096, segment_size=8, seg_budget=1024,
+            coarse_level=4, seg_dilation=2, eval_seg_budget=k2,
+            group_segs_per_block=4, fine_mode=fine_mode)
+        return rf_tracer.trace(None, state, cfg, tc, rays, key,
+                               encode_split=(encode_fn, head_fn))
+
+    out_e = run('exact', 1024)
+    out_d = run('deferred', 1024)
+    for ch in ('rgb', 'alpha', 'depth'):
+        np.testing.assert_allclose(np.asarray(out_d[ch]),
+                                   np.asarray(out_e[ch]),
+                                   rtol=1e-5, atol=1e-5, err_msg=ch)
+    # under truncation both modes must stay finite and composited
+    out_t = run('deferred', 64)
+    assert np.isfinite(np.asarray(out_t['rgb'])).all()
+    assert float(jnp.max(out_t['alpha'])) <= 1.0 + 1e-5
+
+
 def test_validate_segment_cover_raises_on_undersized_dilation():
     ocfg = occ.OccupancyGridConfig(level=7)
     bad = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
