@@ -80,13 +80,19 @@ def main():
     framework's tightest perf target (BASELINE.md: >=3x A100 Wisp).  The
     image-INR throughput rides along in ``extra``."""
     import bench_nerf
-    # tuned march: 128-res stage-1 culling (dilation 2 covers the lego
-    # segment half-length) + 32K segment budget
-    nerf = bench_nerf.measure(paged=True, coarse_level=7, seg_dilation=2,
-                              seg_budget=32768)
+    # headline: the reference's actual lego workload (prune/100, adaptive
+    # budgets); extra: dense (unpruned, worst-case) rays/s with the tuned
+    # march (128-res stage-1 culling, dilation 2, 32K segment budget), and
+    # the image-INR path
+    nerf = bench_nerf.measure_pruned(coarse_level=7, seg_dilation=2,
+                                     seg_budget=32768)
+    dense = bench_nerf.measure(paged=True, coarse_level=7, seg_dilation=2,
+                               seg_budget=32768)
     image = measure_image()
     out = dict(nerf)
-    out['extra'] = {'image_mpix_per_s': image['value'],
+    out['extra'] = {'dense_rays_per_s': dense['value'],
+                    'dense_vs_baseline': dense['vs_baseline'],
+                    'image_mpix_per_s': image['value'],
                     'image_vs_baseline': image['vs_baseline']}
     print(json.dumps(out))
 

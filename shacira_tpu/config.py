@@ -131,6 +131,9 @@ def build_image_parser() -> argparse.ArgumentParser:
 
 def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     """Extra groups of the NeRF app (main_nerf.py:55-289)."""
+    # the reference trains NeRF with AMP on (BaseTrainer enable_amp=True
+    # default; only the image configs set disable_amp) — bf16 MLP head here
+    parser.set_defaults(disable_amp=False)
     g = parser.add_argument_group('tracer')
     g.add_argument('--raymarch-type', type=str, default='ray',
                    choices=['ray', 'voxel'])
@@ -335,7 +338,8 @@ def build_nerf_model_config(args):
         position_input=args.position_input,
         prune_density_decay=args.prune_density_decay,
         prune_min_density=args.prune_min_density,
-        blas_level=int(args.blas_level))
+        blas_level=int(args.blas_level),
+        amp=not args.disable_amp)
 
 
 def build_nerf_trainer_config(args):

@@ -57,17 +57,25 @@ def sga_quantize(x, temperature, rng, diff_sampling: bool):
     categorical with the same temperature mixes the two integers.  With
     ``diff_sampling`` the sample is reparameterized (rsample), else gradients
     flow only through the straight-through floor.
+
+    Implementation note: for two categories the relaxed softmax collapses
+    exactly — ``softmax((l + g)/T)[1] = sigmoid(((l_c - l_f) + Δg)/T)`` with
+    ``Δg = g_c - g_f ~ Logistic(0, 1)``, and the mix ``xf·s0 + xc·s1``
+    equals ``xf + s1``.  Identical distribution and reparameterized
+    gradients at half the elementwise/RNG cost (this runs over the full
+    latent table every step).
     """
     xf = jnp.floor(x) if diff_sampling else ste_floor(x)
-    xc = xf + 1.0
-    logits_f = -jnp.tanh(jnp.clip(x - xf, -1 + EPSILON, 1 - EPSILON)) / temperature
-    logits_c = -jnp.tanh(jnp.clip(xc - x, -1 + EPSILON, 1 - EPSILON)) / temperature
-    logits = jnp.stack([logits_f, logits_c], axis=-1)
-    gumbel = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)
-    sample = jax.nn.softmax((logits + gumbel) / temperature, axis=-1)
+    # logits_c - logits_f; distances clamped like the reference's clamp
+    dl = (jnp.tanh(jnp.clip(x - xf, -1 + EPSILON, 1 - EPSILON))
+          - jnp.tanh(jnp.clip(xf + 1.0 - x, -1 + EPSILON, 1 - EPSILON)))
+    u = jax.random.uniform(rng, x.shape, dtype=x.dtype,
+                           minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+    dg = jnp.log(u) - jnp.log1p(-u)          # Gumbel difference = Logistic
+    s1 = jax.nn.sigmoid((dl / temperature + dg) / temperature)
     if not diff_sampling:
-        sample = jax.lax.stop_gradient(sample)
-    return xf * sample[..., 0] + xc * sample[..., 1]
+        s1 = jax.lax.stop_gradient(s1)
+    return xf + s1
 
 
 _ACTIVATIONS = {

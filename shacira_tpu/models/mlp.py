@@ -184,13 +184,22 @@ WEIGHT_INITS = {
 }
 
 
-def mlp_apply(params, cfg: MLPConfig, x):
+def mlp_apply(params, cfg: MLPConfig, x, compute_dtype=None):
+    """``compute_dtype``: optional autocast (e.g. bf16 for the reference's
+    AMP path) — weights/activations cast per layer, caller casts back."""
     act = get_activation(cfg.activation)
     normalizer = _LAYER_NORMALIZERS[cfg.layer_type]
     layers = params['layers']
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
 
     def weight(layer):
-        return normalizer(layer['w']) if normalizer is not None else layer['w']
+        w = normalizer(layer['w']) if normalizer is not None else layer['w']
+        return w.astype(compute_dtype) if compute_dtype is not None else w
+
+    def bias(layer):
+        b = layer['b']
+        return b.astype(compute_dtype) if compute_dtype is not None else b
 
     h = x
     for i, layer in enumerate(layers[:-1]):
@@ -198,11 +207,11 @@ def mlp_apply(params, cfg: MLPConfig, x):
             h = jnp.concatenate([x, h], axis=-1)
         h = h @ weight(layer)
         if 'b' in layer:
-            h = h + layer['b']
+            h = h + bias(layer)
         h = act(h)
     out = h @ weight(layers[-1])
     if 'b' in layers[-1]:
-        out = out + layers[-1]['b']
+        out = out + bias(layers[-1])
     return out
 
 

@@ -44,8 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from shacira_tpu.ops.hashgrid import (
-    HashGridSpec, PAGE_RES, PRIMES, _cell_and_frac, _corner_weights,
-    paged_params, use_direct_index)
+    HashGridSpec, PAGE_RES, PRIMES, paged_params, use_direct_index)
 
 GROUP_RES = 8            # grouping cells per axis (= PAGE_RES // 2)
 NEIGH = 4                # pages per axis in a block's neighborhood
@@ -178,31 +177,86 @@ def _slab_grad_to_table(gslab, res: int, ld: int, margin: float):
     return g.reshape(res ** 3, ld)
 
 
-def _slot_corner_data_direct(coords_s, block_cell, res: int,
-                             spec: HashGridSpec, margin: float):
-    """entry/psel/w for slotted samples at one direct (dense) LOD, in
-    slab-local coordinates: psel = lx in [0, w), entry = ly*w + lz.
+# ---------------------------------------------------------------------------
+# In-kernel corner math
+#
+# ent/psel/w for every (corner, slot) pair are recomputed INSIDE the Pallas
+# kernels from the block's raw coords ([3, B] per block) instead of being
+# precomputed by XLA and streamed through HBM: at lego shapes the per-corner
+# arrays are [NB, L, C, B] x3 x int32/f32 ~ 0.5 GB per direction, while the
+# coords are 1.5 MB.  The VPU cost of the recompute (~20 ops per corner-row)
+# is well below the one-hot build the kernel already does.
+# ---------------------------------------------------------------------------
 
-    Same contract as :func:`_slot_corner_data`; locals are clamped into the
-    window (only reachable for invalid slots / violated margins — valid
-    slots are covered by construction, see _slab_starts_np)."""
-    nb, b, _ = coords_s.shape
-    starts, w = _slab_starts_np(res, margin)
-    flat = coords_s.reshape(nb * b, 3)
-    pos, frac = _cell_and_frac(flat, res)
-    wgt = _corner_weights(frac, spec)                     # [N, C]
-    offs = jnp.asarray(spec.corner_offsets)
-    cpos = pos[:, None, :] + offs[None, :, :]             # [N, C, 3]
-    cc = block_cell[:, None].repeat(b, 1).reshape(nb * b)
-    cc = jnp.minimum(cc, N_CELLS - 1)                     # pad blocks: any
-    c3 = jnp.stack([cc // 64, (cc // 8) % 8, cc % 8], -1)  # [N, 3] (x, y, z)
-    st = jnp.take(jnp.asarray(starts), c3)                # [N, 3]
-    local = jnp.clip(cpos - st[:, None, :], 0, w - 1)     # [N, C, 3]
-    psel = local[..., 0]                                  # lx
-    entry = local[..., 1] * w + local[..., 2]             # ly*w + lz
-    to_blk = lambda a: a.reshape(nb, b, -1).transpose(0, 2, 1)
-    return (to_blk(entry).astype(jnp.int32), to_blk(psel).astype(jnp.int32),
-            to_blk(wgt))
+def _kernel_pos_frac(coords3, res: int):
+    """Per-axis cell/frac for one LOD; coords3 = 3 x [B] f32.
+
+    Must match hashgrid._cell_and_frac bit-for-bit (same f32 formula)."""
+    pos, frac = [], []
+    for d in range(3):
+        x = jnp.clip(res * (coords3[d] * 0.5 + 0.5), 0.0, res - 1 - 1e-5)
+        p = jnp.minimum(jnp.floor(x), max(res - 2, 0))
+        frac.append(jnp.clip(x - p, 0.0, 1.0))
+        pos.append(p.astype(jnp.int32))
+    return pos, frac
+
+
+def _kernel_corner_pos_w(pos, frac):
+    """Corner cell positions (3 x [C, B] int32) + trilinear weights [C, B].
+
+    Corner j's axis-d offset is ``(j >> (2 - d)) & 1`` (reference bit
+    order); offsets come from an iota so the kernel captures no constants."""
+    b = pos[0].shape[0]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (8, b), 0)         # [C, B]
+    cp, wgt = [], None
+    for d in range(3):
+        off = (cidx >> (2 - d)) & 1
+        cp.append(pos[d][None, :] + off)
+        wd = jnp.where(off > 0, frac[d][None, :], 1.0 - frac[d][None, :])
+        wgt = wd if wgt is None else wgt * wd
+    return cp, wgt
+
+
+def _kernel_paged_corners(coords3, c3, res: int, e: int):
+    """In-kernel entry/psel/w at one paged LOD ([C, B] each).
+
+    Reproduces _cell_and_frac + the XOR-prime entry hash + the page-relative
+    4^3 neighborhood select (psel) of the host reference exactly.  The
+    ``(cpos * PAGE_RES) // res`` page index is computed as an f32 floor-div
+    with the numerator nudged by +0.5: exact quotients sit 0.5/res above an
+    integer and non-multiples stay >= 0.5/res below the next one, so the
+    floor is robust even when the divide lowers to a reciprocal multiply
+    (Mosaic does; the bare division floors exact multiples down by one at
+    e.g. res 132/154)."""
+    pos, frac = _kernel_pos_frac(coords3, res)
+    cp, wgt = _kernel_corner_pos_w(pos, frac)
+    acc = cp[0].astype(jnp.uint32) * jnp.uint32(PRIMES[0])
+    for d in range(1, 3):
+        acc = acc ^ (cp[d].astype(jnp.uint32) * jnp.uint32(PRIMES[d]))
+    ent = (acc & jnp.uint32(e - 1)).astype(jnp.int32)
+    psel = None
+    for d in range(3):
+        pax = jnp.floor((cp[d].astype(jnp.float32) * jnp.float32(PAGE_RES)
+                         + 0.5) / jnp.float32(res))
+        ps = jnp.clip(pax.astype(jnp.int32) - (2 * c3[d] - 1), 0, NEIGH - 1)
+        psel = ps if psel is None else psel * NEIGH + ps
+    return ent, psel, wgt
+
+
+def _kernel_direct_corners(coords3, c3, res: int, starts, w: int):
+    """In-kernel slab-local entry (= ly*w + lz) / psel (= lx) / weights at
+    one direct LOD.  ``starts`` is the static per-grouping-cell window-start
+    table (host _slab_starts_np); the per-block start is selected with 8
+    scalar compares per axis."""
+    pos, frac = _kernel_pos_frac(coords3, res)
+    cp, wgt = _kernel_corner_pos_w(pos, frac)
+    local = []
+    for d in range(3):
+        st = jnp.int32(starts[0])
+        for cv in range(1, GROUP_RES):
+            st = jnp.where(c3[d] == cv, jnp.int32(starts[cv]), st)
+        local.append(jnp.clip(cp[d] - st, 0, w - 1))
+    return local[1] * w + local[2], local[0], wgt
 
 
 # ---------------------------------------------------------------------------
@@ -314,45 +368,15 @@ _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Per-LOD corner math (slot rows)
-# ---------------------------------------------------------------------------
-
-def _slot_corner_data(coords_s, block_cell, res: int, spec: HashGridSpec,
-                      e: int):
-    """entry/psel/w for slotted samples at one paged LOD.
-
-    Args:
-        coords_s: [NB, B, 3] slot coords in [-1, 1] (invalid slots arbitrary).
-        block_cell: [NB] grouping cell per block.
-    Returns:
-        entry [NB, C, B] int32 in [0, E); psel [NB, C, B] int32 in [0, 64);
-        w [NB, C, B] f32 (zero where invalid is handled by caller).
-    """
-    nb, b, _ = coords_s.shape
-    flat = coords_s.reshape(nb * b, 3)
-    pos, frac = _cell_and_frac(flat, res)
-    w = _corner_weights(frac, spec)                       # [N, C]
-    offs = jnp.asarray(spec.corner_offsets)
-    cpos = pos[:, None, :] + offs[None, :, :]             # [N, C, 3]
-    u = cpos.astype(jnp.uint32)
-    acc = u[..., 0] * jnp.uint32(PRIMES[0])
-    for d in range(1, 3):
-        acc = acc ^ (u[..., d] * jnp.uint32(PRIMES[d]))
-    entry = (acc & jnp.uint32(e - 1)).astype(jnp.int32)   # [N, C]
-    pax = (cpos * PAGE_RES) // res                        # [N, C, 3]
-    cc = block_cell[:, None].repeat(b, 1).reshape(nb * b)
-    c3 = jnp.stack([cc // 64, (cc // 8) % 8, cc % 8], -1)  # [N, 3]
-    ps = pax - (2 * c3[:, None, :] - 1)
-    ps = jnp.clip(ps, 0, NEIGH - 1)
-    psel = (ps[..., 0] * NEIGH + ps[..., 1]) * NEIGH + ps[..., 2]
-    to_blk = lambda a: a.reshape(nb, b, -1).transpose(0, 2, 1)
-    return (to_blk(entry).astype(jnp.int32), to_blk(psel).astype(jnp.int32),
-            to_blk(w))
-
-
-# ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
+
+def _dot_precision(dtype):
+    """bf16 mode runs the MXU natively; f32 mode (tests, strict parity)
+    must request HIGHEST or the TPU truncates f32 dot operands to bf16."""
+    return (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
 
 def _lod_gather(ent, psel, wgt, tab, E, NP, C, B, LD, dtype):
     """One LOD's block encode: fused [E, C*B] one-hot entry contraction on
@@ -368,7 +392,8 @@ def _lod_gather(ent, psel, wgt, tab, E, NP, C, B, LD, dtype):
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, cb), 0)
     a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
     g = jax.lax.dot_general(tab.astype(dtype), a, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [LD*NP, cb]
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_precision(dtype))  # [LD*NP, cb]
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
     m = (psel[None, :] == p_iota).astype(jnp.float32)     # [NP, C*B]
     accs = []
@@ -395,72 +420,97 @@ def _lod_scatter(ent, psel, wgt, gl, E, NP, C, B, LD, dtype):
         rows.append(m * gd[None, :])                      # [NP, C*B]
     dg = jnp.concatenate(rows, axis=0).astype(dtype)      # [LD*NP, C*B]
     return jax.lax.dot_general(a, dg, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_dot_precision(dtype))
 
 
-def _gather_kernel(*args, LP, WS, C, B, E, LD, dtype):
+def _kernel_block_cell3(bc):
+    """Grouping-cell coordinates (3 scalars) of the block's cell id; pad
+    blocks (cell == N_CELLS) clamp to any valid cell — their rows are
+    masked by the caller."""
+    bc = jnp.minimum(bc, N_CELLS - 1)
+    return (bc // (GROUP_RES * GROUP_RES), (bc // GROUP_RES) % GROUP_RES,
+            bc % GROUP_RES)
+
+
+def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
+                   C, B, E, LD, dtype):
     """All block-local LODs (direct slabs + paged neighborhoods) in one grid
     pass — amortizes per-step overhead and window streaming over the whole
-    LOD stack.
+    LOD stack.  Corner data (entry/psel/weights) is computed in-kernel from
+    the block's coords (see the in-kernel corner math section).
 
-    args (after the scalar-prefetched block index bc): if WS:
-    ent_d/psel_d/w_d [1, Ld, C, B] + one slab ref [1, w*w, LD*w] per direct
-    LOD; if LP: ent_p/psel_p/w_p [1, LP, C, B] + neigh [1, LP, E, LD*64];
-    then out [1, Ld+LP, LD, B].  Output rows follow ascending LOD order
-    (direct LODs are the coarser prefix)."""
+    args: one slab ref [1, w*w, LD*w] per direct LOD; if RES_P: neigh
+    [1, LP, E, LD*64]; then out [1, Ld+LP, LD, B].  coords_ref is
+    [1, 3, B].  Output rows follow ascending LOD order (direct LODs are
+    the coarser prefix)."""
     it = iter(args)
-    next(it)                                              # bc_ref (unused)
-    if WS:
-        ent_d, psel_d, w_d = next(it), next(it), next(it)
-        slabs = [next(it) for _ in WS]
-    if LP:
-        ent_p, psel_p, w_p, neigh = next(it), next(it), next(it), next(it)
+    slabs = [next(it) for _ in WS]
+    neigh = next(it) if RES_P else None
     out_ref = next(it)
-    li = 0
-    for di, w in enumerate(WS):
-        out_ref[0, li] = _lod_gather(
-            ent_d[0, di], psel_d[0, di], w_d[0, di], slabs[di][0],
-            E=w * w, NP=w, C=C, B=B, LD=LD, dtype=dtype)
-        li += 1
-    for pi in range(LP):
-        out_ref[0, li] = _lod_gather(
-            ent_p[0, pi], psel_p[0, pi], w_p[0, pi], neigh[0, pi],
-            E=E, NP=N_NEIGH, C=C, B=B, LD=LD, dtype=dtype)
-        li += 1
-
-
-def _scatter_kernel(*args, LP, WS, C, B, E, LD, dtype):
-    """Backward of :func:`_gather_kernel`: per-grouping-cell window partials
-    for every LOD, accumulated across consecutive same-cell blocks."""
-    it = iter(args)
-    bc_ref = next(it)
-    if WS:
-        ent_d, psel_d, w_d = next(it), next(it), next(it)
-    if LP:
-        ent_p, psel_p, w_p = next(it), next(it), next(it)
-    g_ref = next(it)
-    outs = list(it)                  # [out_d_0.. out_d_{Ld-1}], out_p?
-
     i = pl.program_id(0)
+    bc = bc_ref[i]
+    is_pad = bc == N_CELLS          # grouping put pad blocks last
+    c3 = _kernel_block_cell3(bc)
+    coords3 = tuple(coords_ref[0, d] for d in range(3))
+
+    @pl.when(is_pad)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.logical_not(is_pad))
+    def _():
+        li = 0
+        for di, w in enumerate(WS):
+            ent, psel, wgt = _kernel_direct_corners(coords3, c3, RES_D[di],
+                                                    STARTS_D[di], w)
+            out_ref[0, li] = _lod_gather(ent, psel, wgt, slabs[di][0],
+                                         E=w * w, NP=w, C=C, B=B, LD=LD,
+                                         dtype=dtype)
+            li += 1
+        for pi, res in enumerate(RES_P):
+            ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E)
+            out_ref[0, li] = _lod_gather(ent, psel, wgt, neigh[0, pi],
+                                         E=E, NP=N_NEIGH, C=C, B=B, LD=LD,
+                                         dtype=dtype)
+            li += 1
+
+
+def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
+                    RES_P, C, B, E, LD, dtype):
+    """Backward of :func:`_gather_kernel`: per-grouping-cell window partials
+    for every LOD, accumulated across consecutive same-cell blocks.  The
+    incoming grad g_ref [1, L, LD, B] must already be masked by slot
+    validity (corner weights are recomputed unmasked in-kernel)."""
+    i = pl.program_id(0)
+    bc = bc_ref[i]
     prev = bc_ref[jnp.maximum(i - 1, 0)]
-    first = (i == 0) | (bc_ref[i] != prev)
+    first = (i == 0) | (bc != prev)
+    c3 = _kernel_block_cell3(bc)
+    coords3 = tuple(coords_ref[0, d] for d in range(3))
 
     @pl.when(first)
     def _():
         for o in outs:
             o[:] = jnp.zeros_like(o)
 
-    li = 0
-    for di, w in enumerate(WS):
-        outs[di][0] += _lod_scatter(
-            ent_d[0, di], psel_d[0, di], w_d[0, di], g_ref[0, li],
-            E=w * w, NP=w, C=C, B=B, LD=LD, dtype=dtype)
-        li += 1
-    for pi in range(LP):
-        outs[len(WS)][0, pi] += _lod_scatter(
-            ent_p[0, pi], psel_p[0, pi], w_p[0, pi], g_ref[0, li],
-            E=E, NP=N_NEIGH, C=C, B=B, LD=LD, dtype=dtype)
-        li += 1
+    # pad blocks (sorted last by grouping) only zero their dropped window
+    @pl.when(bc != N_CELLS)
+    def _():
+        li = 0
+        for di, w in enumerate(WS):
+            ent, psel, wgt = _kernel_direct_corners(coords3, c3, RES_D[di],
+                                                    STARTS_D[di], w)
+            outs[di][0] += _lod_scatter(ent, psel, wgt, g_ref[0, li],
+                                        E=w * w, NP=w, C=C, B=B, LD=LD,
+                                        dtype=dtype)
+            li += 1
+        for pi, res in enumerate(RES_P):
+            ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E)
+            outs[len(WS)][0, pi] += _lod_scatter(
+                ent, psel, wgt, g_ref[0, li],
+                E=E, NP=N_NEIGH, C=C, B=B, LD=LD, dtype=dtype)
+            li += 1
 
 
 def _neigh_table(table, e: int, ld: int):
@@ -573,9 +623,8 @@ def paged_interp_lods(coords_s, slot_valid, block_cell, cell_used, z,
         [NS, len(static.all_lods), ld] f32 interpolated latents in ascending
         LOD order (invalid slots zero).
     """
-    out, _ = _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z,
-                             static)
-    return out
+    return _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z,
+                           static)
 
 
 def _lod_table(z, spec, lod):
@@ -589,6 +638,20 @@ def _slab_widths(static: PagedStatic):
                  for lod in static.direct_lods)
 
 
+def _kernel_static_args(static: PagedStatic):
+    """Per-LOD static kernel parameters (resolutions, slab starts/widths,
+    entries-per-page) shared by the gather and scatter passes."""
+    spec = static.spec
+    ws = _slab_widths(static)
+    res_d = tuple(spec.resolutions[lod] for lod in static.direct_lods)
+    starts_d = tuple(tuple(int(s) for s in
+                           _slab_starts_np(r, static.margin)[0])
+                     for r in res_d)
+    res_p = tuple(spec.resolutions[lod] for lod in static.lods)
+    e = (paged_params(res_p[0], spec.codebook_size, 3)[1] if res_p else 0)
+    return dict(RES_D=res_d, STARTS_D=starts_d, WS=ws, RES_P=res_p, E=e)
+
+
 def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
     spec = static.spec
     nb = block_cell.shape[0]
@@ -599,49 +662,31 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
     lods_d, lods_p = static.direct_lods, static.lods
     l_total = len(lods_d) + len(lods_p)
     if l_total == 0:
-        return jnp.zeros((ns, 0, ld)), None
-    cs3 = coords_s.reshape(nb, b, 3)
-    ws = _slab_widths(static)
+        return jnp.zeros((ns, 0, ld))
+    karg = _kernel_static_args(static)
+    coords_t = coords_s.reshape(nb, b, 3).transpose(0, 2, 1)  # [NB, 3, B]
 
-    ins, in_specs = [], []
-    res_d = res_p = None
+    ins = [coords_t]
+    in_specs = [pl.BlockSpec((1, 3, b), lambda i, bc: (i, 0, 0))]
     if lods_d:
-        cdata = [_slot_corner_data_direct(cs3, block_cell,
-                                          spec.resolutions[lod], spec,
-                                          static.margin)
-                 for lod in lods_d]
-        res_d = tuple(jnp.stack([cd[i] for cd in cdata], axis=1)
-                      for i in range(3))                   # [NB, Ld, C, B] x3
         slabs = [_slab_tables(_lod_table(z, spec, lod),
                               spec.resolutions[lod], ld, static.margin)
                  for lod in lods_d]
-        ins += list(res_d) + slabs
-        blk = pl.BlockSpec((1, len(lods_d), c, b), lambda i, bc: (i, 0, 0, 0))
-        in_specs += [blk] * 3
+        ins += slabs
         in_specs += [pl.BlockSpec((1, w * w, ld * w),
                                   lambda i, bc: (bc[i], 0, 0))
-                     for w in ws]
+                     for w in karg['WS']]
     if lods_p:
-        e = paged_params(spec.resolutions[lods_p[0]], spec.codebook_size,
-                         3)[1]
-        cdata = [_slot_corner_data(cs3, block_cell, spec.resolutions[lod],
-                                   spec, e)
-                 for lod in lods_p]
-        res_p = tuple(jnp.stack([cd[i] for cd in cdata], axis=1)
-                      for i in range(3))                   # [NB, Lp, C, B] x3
+        e = karg['E']
         neigh = jnp.stack([_neigh_table(_lod_table(z, spec, lod), e, ld)
                            for lod in lods_p], axis=1)
-        ins += list(res_p) + [neigh]
-        blk = pl.BlockSpec((1, len(lods_p), c, b), lambda i, bc: (i, 0, 0, 0))
-        in_specs += [blk] * 3
+        ins += [neigh]
         in_specs += [pl.BlockSpec((1, len(lods_p), e, ld * N_NEIGH),
                                   lambda i, bc: (bc[i], 0, 0, 0))]
-    else:
-        e = 0
 
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, LP=len(lods_p), WS=ws, C=c, B=b,
-                          E=e, LD=ld, dtype=static.dtype),
+        functools.partial(_gather_kernel, C=c, B=b, LD=ld,
+                          dtype=static.dtype, **karg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
@@ -655,25 +700,23 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
 
     sv = slot_valid.reshape(nb, b).astype(jnp.float32)
     out = out * sv[:, None, None, :]
-    stacked = out.transpose(0, 3, 1, 2).reshape(ns, l_total, ld)
-    # residual w masked so invalid slots contribute zero grads
-    mask_w = lambda r: (r[0], r[1], r[2] * sv[:, None, None, :])
-    return stacked, (mask_w(res_d) if res_d else None,
-                     mask_w(res_p) if res_p else None)
+    return out.transpose(0, 3, 1, 2).reshape(ns, l_total, ld)
 
 
 def _paged_fwd(coords_s, slot_valid, block_cell, cell_used, z, static):
-    out, residuals = _paged_fwd_impl(coords_s, slot_valid, block_cell,
-                                     cell_used, z, static)
+    out = _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z,
+                          static)
     # zero-size slice keeps z's dtype as a jax-typed residual
-    return out, (residuals, block_cell, cell_used, z[:0])
+    return out, (coords_s, slot_valid, block_cell, cell_used, z[:0])
 
 
 def _paged_bwd(static, saved, g):
-    residuals, block_cell, cell_used, z_meta = saved
+    coords_s, slot_valid, block_cell, cell_used, z_meta = saved
     zdtype = z_meta.dtype
     spec = static.spec
     nb = block_cell.shape[0]
+    ns = coords_s.shape[0]
+    b = ns // nb
     ld = g.shape[-1]
     c = 2 ** spec.dim
     lods_d, lods_p = static.direct_lods, static.lods
@@ -681,40 +724,34 @@ def _paged_bwd(static, saved, g):
     if l_total == 0:
         zeros = jnp.zeros((spec.total_size, ld), jnp.float32).astype(zdtype)
         return None, None, None, None, zeros
-    res_d, res_p = residuals
-    ws = _slab_widths(static)
-    b = res_d[0].shape[-1] if res_d else res_p[0].shape[-1]
-    e = (paged_params(spec.resolutions[lods_p[0]], spec.codebook_size, 3)[1]
-         if lods_p else 0)
+    karg = _kernel_static_args(static)
+    ws, e = karg['WS'], karg['E']
+    coords_t = coords_s.reshape(nb, b, 3).transpose(0, 2, 1)  # [NB, 3, B]
 
+    # corner weights are recomputed unmasked in-kernel: mask the incoming
+    # grad by slot validity instead (same zero contributions)
+    sv = slot_valid.reshape(nb, b).astype(jnp.float32)
     gl = g.reshape(nb, b, l_total, ld).transpose(0, 2, 3, 1)  # [NB, L, LD, B]
-    gl = gl.astype(jnp.float32)
+    gl = gl.astype(jnp.float32) * sv[:, None, None, :]
 
-    ins, in_specs, out_shapes, out_specs = [], [], [], []
-    if lods_d:
-        ins += list(res_d)
-        blk = pl.BlockSpec((1, len(lods_d), c, b), lambda i, bc: (i, 0, 0, 0))
-        in_specs += [blk] * 3
-        for w in ws:
-            out_shapes.append(jax.ShapeDtypeStruct(
-                (N_CELLS + 1, w * w, ld * w), jnp.float32))
-            out_specs.append(pl.BlockSpec((1, w * w, ld * w),
-                                          lambda i, bc: (bc[i], 0, 0)))
+    ins = [coords_t, gl]
+    in_specs = [pl.BlockSpec((1, 3, b), lambda i, bc: (i, 0, 0)),
+                pl.BlockSpec((1, l_total, ld, b), lambda i, bc: (i, 0, 0, 0))]
+    out_shapes, out_specs = [], []
+    for w in ws:
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (N_CELLS + 1, w * w, ld * w), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, w * w, ld * w),
+                                      lambda i, bc: (bc[i], 0, 0)))
     if lods_p:
-        ins += list(res_p)
-        blk = pl.BlockSpec((1, len(lods_p), c, b), lambda i, bc: (i, 0, 0, 0))
-        in_specs += [blk] * 3
         out_shapes.append(jax.ShapeDtypeStruct(
             (N_CELLS + 1, len(lods_p), e, ld * N_NEIGH), jnp.float32))
         out_specs.append(pl.BlockSpec((1, len(lods_p), e, ld * N_NEIGH),
                                       lambda i, bc: (bc[i], 0, 0, 0)))
-    ins.append(gl)
-    in_specs.append(pl.BlockSpec((1, l_total, ld, b),
-                                 lambda i, bc: (i, 0, 0, 0)))
 
     partials = pl.pallas_call(
-        functools.partial(_scatter_kernel, LP=len(lods_p), WS=ws, C=c, B=b,
-                          E=e, LD=ld, dtype=static.dtype),
+        functools.partial(_scatter_kernel, C=c, B=b, LD=ld,
+                          dtype=static.dtype, **karg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),

@@ -105,17 +105,22 @@ def _stride_compact(flat_mask, budget: int):
     gather via paged_hash.permute_rows instead of an XLA row-scatter).
     """
     n = flat_mask.shape[0]
-    total = jnp.sum(flat_mask)
+    cs = jnp.cumsum(flat_mask.astype(jnp.int32))              # inclusive
+    total = cs[-1]
     stride = jnp.maximum(1, -(-total // budget))              # ceil div
-    pos = jnp.cumsum(flat_mask) - 1
-    keep = flat_mask & (pos % stride == 0)
-    # stable compaction: slot index via exclusive cumsum of the kept mask
-    slots = jnp.cumsum(keep) - 1
-    slots = jnp.where(keep, slots, budget)                    # dropped -> OOB
+    # slot of a kept row is its live-rank // stride directly — no second
+    # cumsum needed.  (A searchsorted/gather formulation was measured
+    # slower on TPU: budget * log2(n) binary-search gathers lose to the
+    # single n-row scatter once budget approaches n.)
+    pos = cs - 1                                              # live rank
+    q = pos // stride
+    kept = flat_mask & (pos - q * stride == 0) & (q < budget)
+    slots = jnp.where(kept, q, budget).astype(jnp.int32)      # dropped -> OOB
     src = jnp.zeros((budget,), jnp.int32)
     src = src.at[slots].set(jnp.arange(n, dtype=jnp.int32), mode='drop')
-    valid = jnp.arange(budget) < jnp.sum(keep)
-    return src, valid, slots.astype(jnp.int32)
+    n_keep = -(-total // stride)                              # ceil
+    valid = jnp.arange(budget) < jnp.minimum(n_keep, budget)
+    return src, valid, slots
 
 
 def _eval_field(field_fn, coords, dirs):
@@ -269,16 +274,14 @@ def coarse_dilated_occupancy(occ_state, occ_cfg: occ.OccupancyGridConfig,
                                      cfg.seg_dilation)
 
 
-def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
-                         rays: Rays, rng, defer_fine: bool = False):
-    """'ray' marching with segment-level coarse culling (see RFTracerConfig).
+def coarse_segment_live(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
+                        rng):
+    """Stage-1 segment cull: (depth [R, S], deltas [R, S], mask_c [R, ns]).
 
-    Sampling is identical to raymarch_ray (same jitter draw), so with
-    sufficient budgets the result matches the dense path exactly: only
-    samples whose density would be zero (fine-unoccupied) or whose segment's
-    dilated coarse cell is empty (implies fine-unoccupied) are skipped, and
-    skipped samples contribute zero optical thickness either way.
-    """
+    Sampling is identical to raymarch_ray (same jitter draw); a segment is
+    live when its midpoint's dilated coarse cell is occupied (conservative:
+    the dilated cell covers the whole segment — see validate_segment_cover).
+    Also used standalone by the trainer's adaptive-budget probe."""
     G = cfg.segment_size
     S = cfg.num_steps
     assert S % G == 0, (S, G)
@@ -310,6 +313,23 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
     inside = jnp.all(jnp.abs(mid) <= 1.0 + cover, axis=-1)
     ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * rc), 0, rc - 1).astype(jnp.int32)
     mask_c = coarse[ci[..., 0], ci[..., 1], ci[..., 2]] & inside  # [R, ns]
+    return depth, deltas, mask_c
+
+
+def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
+                         rays: Rays, rng, defer_fine: bool = False):
+    """'ray' marching with segment-level coarse culling (see RFTracerConfig).
+
+    With sufficient budgets the result matches the dense path exactly: only
+    samples whose density would be zero (fine-unoccupied) or whose segment's
+    dilated coarse cell is empty (implies fine-unoccupied) are skipped, and
+    skipped samples contribute zero optical thickness either way.
+    """
+    G = cfg.segment_size
+    ns = cfg.num_steps // G
+    R = rays.origins.shape[0]
+    depth, deltas, mask_c = coarse_segment_live(occ_state, occ_cfg, cfg,
+                                                rays, rng)
 
     # compact live segments to the segment budget
     k_seg = cfg.seg_budget or max(1, 8 * cfg.max_samples // G)

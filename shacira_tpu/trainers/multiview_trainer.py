@@ -254,7 +254,7 @@ class MultiviewTrainer:
         return step
 
     def _get_chunk_fn(self, use_sga: bool):
-        key = ('chunk', use_sga, self.active_tracer_cfg.max_samples)
+        key = ('chunk', use_sga, self.active_tracer_cfg)
         if key in self._fns:
             return self._fns[key]
         step = self._raw_step(use_sga)
@@ -318,12 +318,42 @@ class MultiviewTrainer:
                                   jnp.asarray(rd[0]), k)
         return float(np.asarray(frac[None])[0])
 
+    def _live_segment_fraction(self) -> float:
+        """Measured coarse-live segment fraction on a real presampled ray
+        batch (the paged path's stage-1 survival rate)."""
+        base = self.tracer_cfg
+        if 'probe_seg' not in self._fns:
+            d = self.dataset
+
+            def probe(occ_state, ro, rd, k):
+                rays = make_rays(ro, rd, d.dist_min, d.dist_max)
+                _, _, mask_c = rf_tracer.coarse_segment_live(
+                    occ_state, self.model_cfg.occ_cfg, base, rays, k)
+                return jnp.mean(mask_c.astype(jnp.float32))
+
+            self._fns['probe_seg'] = jax.jit(probe)
+        ro, rd, _ = self._presample(1)
+        self.rng, k = jax.random.split(self.rng)
+        frac = self._fns['probe_seg'](self.occ_state, jnp.asarray(ro[0]),
+                                      jnp.asarray(rd[0]), k)
+        return float(np.asarray(frac[None])[0])
+
     def _adapt_budget(self):
-        """Shrink the compaction budget to match post-prune occupancy."""
+        """Shrink the compaction budgets to match post-prune occupancy.
+
+        Besides the sample budget (``max_samples``) the paged path's segment
+        budgets shrink too: every stage downstream of stage-1 culling —
+        grouping, the paged encode kernel, fine queries, row compaction —
+        scales with the *segment* budget, so a pruned scene (lego settles
+        near ~25% coarse-live) speeds up proportionally."""
         import dataclasses
         base = self.tracer_cfg
         if base.max_samples <= 0:
             return
+
+        def pow2(x):
+            return 1 << int(np.ceil(np.log2(max(x, 1.0))))
+
         if base.raymarch_type == 'ray':
             expected = (self._occupied_sample_fraction()
                         * self.num_rays * base.num_steps)
@@ -332,15 +362,28 @@ class MultiviewTrainer:
                 jnp.mean(self.occ_state['occ'].astype(jnp.float32))[None])[0])
             expected = (occ_frac * self.num_rays * base.num_steps
                         * base.max_intersections)
-        k = 1 << int(np.ceil(np.log2(
-            max(self.cfg.min_budget, self.cfg.budget_headroom * expected))))
+        k = pow2(max(self.cfg.min_budget, self.cfg.budget_headroom * expected))
         k = min(k, base.max_samples)
-        if k != self.active_tracer_cfg.max_samples:
-            self.active_tracer_cfg = dataclasses.replace(base, max_samples=k)
-            # drop cached chunk fns for other budgets (they keyed on budget)
+        new = {'max_samples': k}
+
+        if base.segment_size > 0 and base.eval_seg_budget > 0:
+            g = base.segment_size
+            ns = base.num_steps // g
+            live = self._live_segment_fraction() * self.num_rays * ns
+            min_seg = max(256, self.cfg.min_budget // g)
+            want = pow2(max(min_seg, self.cfg.budget_headroom * live))
+            sb_base = base.seg_budget or max(1, 8 * base.max_samples // g)
+            new['seg_budget'] = min(want, sb_base)
+            new['eval_seg_budget'] = min(want, base.eval_seg_budget)
+            new['max_samples'] = min(k, new['eval_seg_budget'] * g)
+
+        cur = {f: getattr(self.active_tracer_cfg, f) for f in new}
+        if new != cur:
+            self.active_tracer_cfg = dataclasses.replace(base, **new)
+            # drop cached chunk fns for other budgets (they keyed on the cfg)
             self._fns = {f: v for f, v in self._fns.items()
                          if not (isinstance(f, tuple) and f[0] == 'chunk')
-                         or f[2] == k}
+                         or f[2] == self.active_tracer_cfg}
 
     def _presample(self, n: int):
         """Host-side ray batch presampling for one chunk (one view per step)."""

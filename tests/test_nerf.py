@@ -389,3 +389,83 @@ def test_segmented_trace_clamps_coarse_level_to_occ_level():
     out = rf_tracer.trace(field_fn, state, cfg, seg_cfg, rays,
                           jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(out['rgb'])).all()
+
+
+def test_adaptive_segment_budgets_shrink_after_prune():
+    """adaptive_budget on the paged path: post-prune occupancy collapse must
+    shrink seg_budget/eval_seg_budget (pow-2 ladder) alongside max_samples,
+    and keep max_samples <= eval_seg_budget * segment_size."""
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+
+    data = synthetic_scene(num_views=4, res=16)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=4, min_grid_res=16, max_grid_res=64,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=17, init_grid='normal',
+        num_prob_layers=1, entropy_enabled=True, hash_layout='paged',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralRadianceFieldConfig(
+        grid=grid, hidden_dim=16, num_layers=1,
+        view_embedder='positional', view_multires=2, blas_level=5)
+    tcfg = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=512, bg_color='white',
+        max_samples=4096, segment_size=4, seg_budget=4096,
+        coarse_level=5, seg_dilation=1, eval_seg_budget=2048,
+        group_segs_per_block=8, fine_mode='deferred')
+    cfg = MultiviewTrainerConfig(epochs=20, prune_every=-1, chunk_size=10,
+                                 use_sga=True, temperature=0.1,
+                                 entropy_reg=1e-4, entropy_reg_end=1e-4,
+                                 adaptive_budget=True, min_budget=256)
+    trainer = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=64, seed=0)
+
+    # collapse occupancy to a small sphere, as a long prune phase would
+    res = mcfg.occ_cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.2 ** 2
+    trainer.occ_state = {**trainer.occ_state, 'occ': jnp.asarray(sphere)}
+    trainer._refresh_coarse()
+    trainer._adapt_budget()
+    act = trainer.active_tracer_cfg
+    assert act.eval_seg_budget < 2048, act.eval_seg_budget
+    assert act.seg_budget < 4096, act.seg_budget
+    assert act.seg_budget >= act.eval_seg_budget
+    for v in (act.eval_seg_budget, act.seg_budget, act.max_samples):
+        assert v > 0 and (v & (v - 1)) == 0, v
+    assert act.max_samples <= act.eval_seg_budget * act.segment_size
+    # the chunk-fn cache keys on the full active cfg (stale fns dropped)
+    for f in trainer._fns:
+        assert not (isinstance(f, tuple) and f[0] == 'chunk'
+                    and f[2] != act)
+
+
+def test_amp_head_close_to_f32():
+    """cfg.amp=True runs the MLP head in bf16 (reference AMP autocast,
+    base_trainer.py:386) — outputs f32, close to the f32 head."""
+    import dataclasses
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs import nerf as nerf_mod
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=8, init_grid='normal')
+    cfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=32, num_layers=1,
+                                    view_embedder='positional',
+                                    view_multires=2, blas_level=4)
+    params = nerf_mod.nerf_init(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1),
+                              (64, cfg.density_mlp_cfg.input_dim))
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    c32, d32 = nerf_mod.nerf_head(params, cfg, feats, dirs)
+    camp, damp = nerf_mod.nerf_head(
+        params, dataclasses.replace(cfg, amp=True), feats, dirs)
+    assert camp.dtype == jnp.float32 and damp.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(camp), np.asarray(c32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(damp), np.asarray(d32),
+                               rtol=0.05, atol=0.05)

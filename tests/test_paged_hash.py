@@ -268,3 +268,35 @@ def test_validate_paged_cover():
     ph.validate_paged_cover(spec, seg_half01=0.01)     # fine
     with pytest.raises(ValueError):
         ph.validate_paged_cover(spec, seg_half01=0.1)  # too long at res 32
+
+
+def test_prune_paged_matches_flat_density():
+    """The paged prune fast path (static grouping over the occupancy grid)
+    must reproduce the flat-path density at the same jittered points."""
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs import nerf as nerf_mod
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=4, min_grid_res=16, max_grid_res=64,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.05, codebook_bitwidth=17, init_grid='normal',
+        hash_layout='paged',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1))
+    cfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=16, num_layers=1,
+                                    blas_level=5)   # res 32 -> w=4, B=64
+    assert nerf_mod._can_prune_paged(cfg)
+    params = nerf_mod.nerf_init(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(7)
+    d_paged = nerf_mod._prune_density_paged(params, cfg, rng)
+
+    # same points, reconstructed: grouped order + same uniform draw
+    res = cfg.occ_cfg.res
+    idx3, _, inv = nerf_mod._prune_block_layout(res)
+    u = jax.random.uniform(rng, (res ** 3, 3))
+    pts = ((jnp.asarray(idx3) + u) / res) * 2.0 - 1.0
+    d_flat = nerf_mod.nerf_density(params, cfg, pts)[..., 0]
+    d_flat = jnp.take(d_flat, jnp.asarray(inv))
+    np.testing.assert_allclose(np.asarray(d_paged), np.asarray(d_flat),
+                               rtol=1e-4, atol=1e-4)
