@@ -141,12 +141,69 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
     }
 
 
+def measure_voxel(paged: bool = True, iters: int = 30):
+    """V8-shaped 'voxel' DDA-marching throughput (RTMV config: 20 LODs bw17
+    latent_dim 2 F4, 16 steps/cell, blas 7).  With ``paged``, each
+    intersected cell's sample group rides the block-local encode kernels."""
+    import jax
+    sys.path.insert(0, 'tests')
+    from test_nerf import synthetic_scene
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.tracers import rf_tracer
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+
+    data = synthetic_scene(num_views=20, res=64)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=4, num_lods=20, min_grid_res=16, max_grid_res=512,
+        latent_dim=2, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=17, init_grid='normal',
+        num_prob_layers=1, entropy_enabled=True,
+        hash_layout='paged' if paged else 'xor',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=128, num_layers=1,
+                                     view_embedder='positional',
+                                     view_multires=4, blas_level=7,
+                                     amp=True)
+    tcfg = rf_tracer.RFTracerConfig(
+        raymarch_type='voxel', num_steps=16, bg_color='white',
+        max_intersections=64, max_samples=262144,
+        eval_seg_budget=16384 if paged else 0)
+    cfg = MultiviewTrainerConfig(epochs=600, prune_every=-1, chunk_size=10,
+                                 use_sga=True, temperature=1.0,
+                                 entropy_reg=1e-4, entropy_reg_end=1e-4)
+    tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)
+    tr.train(num_iterations=10)
+    np.asarray(tr.params['grid']['codebook'][0:1])
+    t0 = time.time()
+    tr.train(num_iterations=iters)
+    np.asarray(tr.params['grid']['codebook'][0:1])
+    dt = time.time() - t0
+    rays_s = 4096 * iters / dt
+    return {
+        'metric': 'nerf_voxel_train_rays_per_s',
+        'value': round(rays_s, 1),
+        'unit': 'rays/s',
+        'vs_baseline': round(rays_s / A100_REF_RAYS_S, 3),
+        'config': 'V8-shaped: 20 LODs bw17 F4 latent2, voxel-march 16 '
+                  'steps/cell, 4096 rays/iter'
+                  + (', paged encode (16384-cell eval budget)'
+                     if paged else ''),
+    }
+
+
 def main():
     iters = 30
     if '--iters' in sys.argv:
         iters = int(sys.argv[sys.argv.index('--iters') + 1])
     if '--pruned' in sys.argv:
         print(json.dumps(measure_pruned(iters=max(iters, 200))))
+        return
+    if '--voxel' in sys.argv:
+        print(json.dumps(measure_voxel(paged='--paged' in sys.argv,
+                                       iters=iters)))
         return
     paged = '--paged' in sys.argv
     print(json.dumps(measure(paged=paged, iters=iters)))

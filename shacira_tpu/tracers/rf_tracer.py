@@ -389,7 +389,7 @@ def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
     eval_seg_budget survivors only."""
     from shacira_tpu.ops import paged_hash as ph
 
-    g = cfg.segment_size
+    g = seg['samples'].shape[1]
     k2 = cfg.eval_seg_budget
     spb = cfg.group_segs_per_block
     if fine_qfn is not None:
@@ -465,7 +465,34 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         (ref extra-channel integration, packed_rf_tracer.py:155-168).
     """
     R = rays.origins.shape[0]
-    if (cfg.raymarch_type == 'ray' and cfg.segment_size > 0
+    if (cfg.raymarch_type == 'voxel' and encode_split is not None
+            and cfg.eval_seg_budget > 0 and cfg.max_samples > 0):
+        # paged voxel trace: each (ray, intersected-cell) group of num_steps
+        # samples lies inside ONE occupancy cell, and occupancy cells nest
+        # exactly inside the paged kernels' grouping cells (both power-of-2
+        # grids) — so the DDA's intersection axis IS the segment axis, with
+        # no coarse culling or fine query needed (live cells are occupied
+        # by construction).
+        m = occ.raymarch_voxel(occ_state, occ_cfg, rays, cfg.num_steps, rng,
+                               cfg.max_intersections)
+        I, S = cfg.max_intersections, cfg.num_steps
+        k = R * I
+        seg = dict(
+            samples=m['samples'].reshape(k, S, 3),
+            dirs=jnp.broadcast_to(rays.dirs[:, None, None, :],
+                                  (R, I, S, 3)).reshape(k, S, 3),
+            mask=m['mask'].reshape(k, S),
+            depth=m['depth'].reshape(k, S),
+            deltas=m['deltas'].reshape(k, S),
+            ray=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None],
+                                 (R, I, S)).reshape(k, S),
+            seg_valid=None)
+        if len(encode_split) == 3:
+            out = _trace_paged(encode_split[0], encode_split[2], seg, cfg, R,
+                               finish_fn=encode_split[1])
+        else:
+            out = _trace_paged(encode_split[0], encode_split[1], seg, cfg, R)
+    elif (cfg.raymarch_type == 'ray' and cfg.segment_size > 0
             and cfg.max_samples > 0):
         paged = encode_split is not None and cfg.eval_seg_budget > 0
         defer = paged and cfg.fine_mode == 'deferred'

@@ -150,12 +150,17 @@ class MultiviewTrainer:
         if (model_cfg.grid.hash_layout == 'paged'
                 and tracer_cfg.eval_seg_budget > 0):
             from shacira_tpu.ops import paged_hash as ph
-            # world coords live in [-1,1] -> [0,1] halves distances; the
-            # grouping cell is keyed on the center *sample* (not the exact
-            # midpoint), so allow one extra inter-sample spacing
-            span = float(dataset.dist_max) - float(dataset.dist_min)
-            seg_half01 = span * (tracer_cfg.segment_size / 2 + 1) \
-                / tracer_cfg.num_steps / 2.0
+            if tracer_cfg.raymarch_type == 'voxel':
+                # a voxel segment's samples lie inside one occupancy cell:
+                # spread around the center sample <= the cell diagonal
+                seg_half01 = float(np.sqrt(3.0)) / model_cfg.occ_cfg.res
+            else:
+                # world coords live in [-1,1] -> [0,1] halves distances; the
+                # grouping cell is keyed on the center *sample* (not the
+                # exact midpoint), so allow one extra inter-sample spacing
+                span = float(dataset.dist_max) - float(dataset.dist_min)
+                seg_half01 = span * (tracer_cfg.segment_size / 2 + 1) \
+                    / tracer_cfg.num_steps / 2.0
             ph.validate_paged_cover(model_cfg.grid.spec, seg_half01)
 
     # ------------------------------------------------------------------
@@ -192,15 +197,22 @@ class MultiviewTrainer:
                                                   lod_mask=lod_mask)
 
                     # paged-encode split (ops/paged_hash.py): grid encode on
-                    # segment-grouped rows via the block-local MXU kernels
+                    # segment-grouped rows via the block-local MXU kernels.
+                    # 'ray' groups segment_size-sample segments; 'voxel'
+                    # groups each intersected cell's num_steps samples.
                     if (gcfg.hash_layout == 'paged'
                             and tcfg.eval_seg_budget > 0
-                            and tcfg.segment_size > 0):
+                            and (tcfg.segment_size > 0
+                                 or tcfg.raymarch_type == 'voxel')):
+                        seg_group = (tcfg.num_steps
+                                     if tcfg.raymarch_type == 'voxel'
+                                     else tcfg.segment_size)
+
                         # deferred-direct split (rf_tracer.trace triple)
                         def zbar_fn(coords, grouping):
                             return nerf_mod.nerf_zbar(
                                 p, mcfg, coords, grouping,
-                                tcfg.segment_size, affine=parts)
+                                seg_group, affine=parts)
 
                         def finish_fn(zbar_c, coords_c):
                             return nerf_mod.nerf_finish_feats(

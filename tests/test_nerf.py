@@ -469,3 +469,53 @@ def test_amp_head_close_to_f32():
     np.testing.assert_allclose(np.asarray(camp), np.asarray(c32), atol=0.05)
     np.testing.assert_allclose(np.asarray(damp), np.asarray(d32),
                                rtol=0.05, atol=0.05)
+
+
+def test_voxel_paged_trace_matches_dense():
+    """'voxel' marching through the paged trace (encode_split): each
+    intersected cell's sample group rides the segment machinery — must
+    render exactly what the dense voxel path renders when budgets cover
+    the live cells."""
+    cfg = occ.OccupancyGridConfig(level=4)
+    state = occ.occupancy_init(cfg)
+    res = cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.55 ** 2
+    state = {**state, 'occ': jnp.asarray(sphere)}
+
+    def encode_fn(coords, grouping):
+        return jnp.concatenate([jnp.sin(2.0 * coords), coords ** 2], -1)
+
+    def head_fn(feats, dirs):
+        color = 0.5 + 0.4 * jnp.tanh(feats[..., :3] + dirs)
+        density = 3.0 * jax.nn.sigmoid(jnp.sum(feats[..., 3:], -1,
+                                               keepdims=True))
+        return color, density
+
+    def field_fn(coords, dirs):
+        return head_fn(encode_fn(coords, None), dirs)
+
+    R = 32
+    rng_rays = np.random.RandomState(5)
+    o = np.asarray([[2.0, 0.3, 0.1]], np.float32) + np.zeros((R, 3),
+                                                             np.float32)
+    to_pts = rng_rays.uniform(-0.7, 0.7, (R, 3)).astype(np.float32)
+    d = to_pts - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(o, d, 0.0, 4.0)
+    key = jax.random.PRNGKey(13)
+
+    base = dict(raymarch_type='voxel', num_steps=8, bg_color='white',
+                max_intersections=32)
+    tc_dense = rf_tracer.RFTracerConfig(**base)
+    out_dense = rf_tracer.trace(field_fn, state, cfg, tc_dense, rays, key)
+    tc_paged = rf_tracer.RFTracerConfig(**base, max_samples=4096,
+                                        eval_seg_budget=1024,
+                                        group_segs_per_block=8)
+    out_paged = rf_tracer.trace(None, state, cfg, tc_paged, rays, key,
+                                encode_split=(encode_fn, head_fn))
+    for ch in ('rgb', 'alpha', 'depth'):
+        np.testing.assert_allclose(np.asarray(out_paged[ch]),
+                                   np.asarray(out_dense[ch]),
+                                   rtol=1e-4, atol=1e-4, err_msg=ch)

@@ -300,3 +300,39 @@ def test_prune_paged_matches_flat_density():
     d_flat = jnp.take(d_flat, jnp.asarray(inv))
     np.testing.assert_allclose(np.asarray(d_paged), np.asarray(d_flat),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_voxel_paged_trainer_trains():
+    """MultiviewTrainer with raymarch_type='voxel' + hash_layout='paged':
+    the deferred-direct encode split rides the intersected-cell segments
+    (seg group = num_steps) and training converges healthily."""
+    from tests.test_nerf import synthetic_scene
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+    from shacira_tpu.tracers.rf_tracer import RFTracerConfig
+
+    ds = synthetic_scene(num_views=6, res=32)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=5, min_grid_res=16, max_grid_res=64,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.1, codebook_bitwidth=17, init_grid='normal',
+        hash_layout='paged',
+    ).with_ldec(dict(norm='max', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1))
+    # voxel segments span one occupancy cell; the paged cover needs the
+    # blas fine enough that a cell fits a grouping cell's neighborhood
+    mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=16, num_layers=1,
+                                     blas_level=7, prune_min_density=1.0)
+    tcfg = MultiviewTrainerConfig(epochs=2, lr=1e-3, grid_lr=2e-2,
+                                  chunk_size=10, log_every=-1,
+                                  prune_every=-1)
+    trcfg = RFTracerConfig(raymarch_type='voxel', num_steps=8,
+                           max_intersections=24, max_samples=4096,
+                           eval_seg_budget=512, group_segs_per_block=4)
+    t = MultiviewTrainer(tcfg, mcfg, trcfg, ds, num_rays=128, seed=0)
+    t.train(num_iterations=30)
+    m = t.evaluate(view_indices=[0])
+    assert np.isfinite(m['psnr']) and m['psnr'] > 10, m
