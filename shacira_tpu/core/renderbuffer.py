@@ -97,30 +97,17 @@ class RenderBuffer:
         return out
 
     def save_exr(self, path: str, h: int, w: int) -> bool:
-        """Write an EXR (OpenEXR if available, else .npz fallback);
-        returns True when a real EXR was written."""
+        """Write a real EXR via the native codec (ops/exr.py); returns True
+        (kept for callers written against the old npz-fallback contract)."""
+        from shacira_tpu.ops.exr import write_exr
         data = self.exr_dict(h, w)
-        try:
-            import OpenEXR
-            import Imath
-            half = Imath.Channel(Imath.PixelType(Imath.PixelType.FLOAT))
-            names, planes = [], []
-            for k, v in data.items():
-                if v.shape[-1] == 3:
-                    for i, suffix in enumerate('RGB'):
-                        names.append(f'{k}.{suffix}' if k != 'rgb' else suffix)
-                        planes.append(v[..., i])
-                else:
-                    for i in range(v.shape[-1]):
-                        names.append(k if v.shape[-1] == 1 else f'{k}.{i}')
-                        planes.append(v[..., i])
-            header = OpenEXR.Header(w, h)
-            header['channels'] = {n: half for n in names}
-            exr = OpenEXR.OutputFile(path, header)
-            exr.writePixels({n: p.astype(np.float32).tobytes()
-                             for n, p in zip(names, planes)})
-            exr.close()
-            return True
-        except ImportError:
-            np.savez(path + '.npz', **{k: v for k, v in data.items()})
-            return False
+        planes = {}
+        for k, v in data.items():
+            if v.shape[-1] == 3:
+                for i, suffix in enumerate('RGB'):
+                    planes[f'{k}.{suffix}' if k != 'rgb' else suffix] = v[..., i]
+            else:
+                for i in range(v.shape[-1]):
+                    planes[k if v.shape[-1] == 1 else f'{k}.{i}'] = v[..., i]
+        write_exr(path, planes)
+        return True

@@ -23,8 +23,15 @@ TRAIN_RATIO, VAL_RATIO = 0.7, 0.15
 
 
 def _read_exr(path: str) -> np.ndarray:
-    """[H, W, C] float32. Tries cv2 (needs OPENCV_IO_ENABLE_OPENEXR), then
-    imageio."""
+    """[H, W, C] float32. Tries the native codec (ops/exr.py; handles the
+    uncompressed files this framework writes), then cv2 (needs
+    OPENCV_IO_ENABLE_OPENEXR), then imageio — the fallbacks cover
+    compressed real-world RTMV captures when an EXR-capable build exists."""
+    try:
+        from shacira_tpu.ops.exr import read_exr_rgba
+        return read_exr_rgba(path)
+    except Exception:
+        pass    # compressed / exotic layout: fall through to cv2 / imageio
     os.environ.setdefault('OPENCV_IO_ENABLE_OPENEXR', '1')
     try:
         import cv2

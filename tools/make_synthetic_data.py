@@ -177,7 +177,7 @@ def _render_view(c2w, h, w, fx):
     alpha = hit.astype(np.float32)
     rgba = np.concatenate([np.where(hit[..., None], rgb, 1.0),
                            alpha[..., None]], -1)
-    return np.clip(rgba, 0, 1)
+    return np.clip(rgba, 0, 1), np.where(hit, t, 0.0).astype(np.float32)
 
 
 def write_nerf_scene(outdir, views=64, val_views=8, res=256, seed=0):
@@ -206,7 +206,7 @@ def write_nerf_scene(outdir, views=64, val_views=8, res=256, seed=0):
             c2w[:3, 1] = up
             c2w[:3, 2] = -fwd
             c2w[:3, 3] = pos
-            rgba = _render_view(c2w, res, res, fx)
+            rgba, _ = _render_view(c2w, res, res, fx)
             fname = f'{name}/r_{v}'
             Image.fromarray((rgba * 255).astype(np.uint8), 'RGBA').save(
                 os.path.join(outdir, fname + '.png'))
@@ -222,9 +222,48 @@ def write_nerf_scene(outdir, views=64, val_views=8, res=256, seed=0):
     print(f'wrote {views}+{val_views} views to {outdir}')
 
 
+def write_rtmv_scene(outdir, views=64, res=256, seed=0):
+    """RTMV-format scene: flat NNNNN.exr (R/G/B/A + ray-distance Z channel,
+    native uncompressed codec) + NNNNN.json camera files, consumed by
+    datasets/rtmv.py's ratio-based splits.  Same analytic scene and camera
+    rig as the Blender writer."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+    from shacira_tpu.ops.exr import write_exr
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    camera_angle_x = 0.6911112070083618
+    fx = 0.5 * res / np.tan(0.5 * camera_angle_x)
+    for v in range(views):
+        theta = 2 * np.pi * (v / views) * 7.13   # decorrelate from split order
+        elev = 0.35 + 0.45 * rng.rand()
+        r = 3.2
+        pos = np.asarray([r * np.cos(theta) * np.cos(elev),
+                          r * np.sin(elev),
+                          r * np.sin(theta) * np.cos(elev)], np.float32)
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross(fwd, [0, 1, 0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, pos
+        rgba, depth = _render_view(c2w, res, res, fx)
+        write_exr(os.path.join(outdir, f'{v:05d}.exr'),
+                  {'R': rgba[..., 0], 'G': rgba[..., 1], 'B': rgba[..., 2],
+                   'A': rgba[..., 3], 'Z': depth})
+        meta = {'camera_data': {
+            # loader transposes on read (real RTMV stores row-major)
+            'cam2world': c2w.T.tolist(),
+            'intrinsics': {'fx': fx, 'fy': fx, 'cx': res / 2.0,
+                           'cy': res / 2.0}}}
+        with open(os.path.join(outdir, f'{v:05d}.json'), 'w') as f:
+            json.dump(meta, f)
+    print(f'wrote {views} RTMV views to {outdir}')
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('kind', choices=['images', 'nerf'])
+    ap.add_argument('kind', choices=['images', 'nerf', 'rtmv'])
     ap.add_argument('outdir')
     ap.add_argument('--n', type=int, default=2)
     ap.add_argument('--h', type=int, default=512)
@@ -235,6 +274,8 @@ def main():
     args = ap.parse_args()
     if args.kind == 'images':
         write_images(args.outdir, args.n, args.h, args.w)
+    elif args.kind == 'rtmv':
+        write_rtmv_scene(args.outdir, args.views, args.res)
     else:
         write_nerf_scene(args.outdir, args.views, args.val_views, args.res)
 
