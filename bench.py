@@ -88,10 +88,13 @@ def main():
                                      seg_budget=32768)
     dense = bench_nerf.measure(paged=True, coarse_level=7, seg_dilation=2,
                                seg_budget=32768)
+    voxel = bench_nerf.measure_voxel(paged=True)
     image = measure_image()
     out = dict(nerf)
     out['extra'] = {'dense_rays_per_s': dense['value'],
                     'dense_vs_baseline': dense['vs_baseline'],
+                    'voxel_rays_per_s': voxel['value'],
+                    'voxel_vs_baseline': voxel['vs_baseline'],
                     'image_mpix_per_s': image['value'],
                     'image_vs_baseline': image['vs_baseline']}
     print(json.dumps(out))

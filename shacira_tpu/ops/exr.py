@@ -110,8 +110,11 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
     magic, version = struct.unpack_from('<ii', buf, 0)
     if magic != _MAGIC:
         raise ValueError(f'{path}: not an EXR file')
+    # version flag bits: 0x200 tiled, 0x800 deep, 0x1000 multi-part
     if version & 0x200:
-        raise NotImplementedError('multi-part EXR not supported')
+        raise NotImplementedError('tiled EXR not supported')
+    if version & (0x800 | 0x1000):
+        raise NotImplementedError('deep/multi-part EXR not supported')
     attrs, pos = _read_attrs(buf, 8)
     if attrs['compression'][1][0] != 0:
         raise NotImplementedError(
@@ -140,8 +143,16 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
 
 def read_exr_rgba(path: str) -> np.ndarray:
     """[H, W, C] float32 with channels ordered R, G, B, A, then any others
-    (e.g. depth) alphabetically — the layout datasets/rtmv.py consumes."""
+    (e.g. depth) alphabetically — the layout datasets/rtmv.py consumes.
+
+    When extra channels exist but 'A' is absent, an opaque alpha plane is
+    inserted so slot 3 is always alpha (consumers index positionally; a
+    depth channel must never land in the alpha slot)."""
     chans = read_exr(path)
     order = [c for c in ('R', 'G', 'B', 'A') if c in chans]
-    order += sorted(c for c in chans if c not in ('R', 'G', 'B', 'A'))
-    return np.stack([chans[c] for c in order], axis=-1)
+    extras = sorted(c for c in chans if c not in ('R', 'G', 'B', 'A'))
+    planes = [chans[c] for c in order]
+    if extras and 'A' not in chans:
+        planes.append(np.ones_like(planes[0]))
+    planes += [chans[c] for c in extras]
+    return np.stack(planes, axis=-1)

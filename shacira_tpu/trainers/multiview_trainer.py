@@ -307,48 +307,65 @@ class MultiviewTrainer:
         return self._fns['prune']
 
     # ------------------------------------------------------------------
-    def _occupied_sample_fraction(self) -> float:
-        """Measured fraction of march samples that land in occupied cells,
-        probed on a real presampled ray batch.  Camera rays concentrate on
-        the occupied region, so this can far exceed the volumetric occupancy
-        fraction — the volume estimate would under-budget and silently
-        stride-drop real samples."""
-        base = self.tracer_cfg
-        if 'probe' not in self._fns:
+    def _probe_fraction(self, key: str, body) -> float:
+        """Jit-cached occupancy probe on one real presampled ray batch.
+
+        ``body(occ_state, rays, rng) -> scalar``; the result readback uses
+        the 1-element-slice sync protocol (axon relay: 0-d readbacks stall).
+        """
+        if key not in self._fns:
             d = self.dataset
 
             def probe(occ_state, ro, rd, k):
-                rays = make_rays(ro, rd, d.dist_min, d.dist_max)
-                m = occ.raymarch_ray(occ_state, self.model_cfg.occ_cfg, rays,
-                                     base.num_steps, k)
-                return jnp.mean(m['mask'].astype(jnp.float32))
+                return body(occ_state, make_rays(ro, rd, d.dist_min,
+                                                 d.dist_max), k)
 
-            self._fns['probe'] = jax.jit(probe)
+            self._fns[key] = jax.jit(probe)
         ro, rd, _ = self._presample(1)
         self.rng, k = jax.random.split(self.rng)
-        frac = self._fns['probe'](self.occ_state, jnp.asarray(ro[0]),
-                                  jnp.asarray(rd[0]), k)
+        frac = self._fns[key](self.occ_state, jnp.asarray(ro[0]),
+                              jnp.asarray(rd[0]), k)
         return float(np.asarray(frac[None])[0])
+
+    def _occupied_sample_fraction(self) -> float:
+        """Measured fraction of march samples that land in occupied cells.
+        Camera rays concentrate on the occupied region, so this can far
+        exceed the volumetric occupancy fraction — the volume estimate
+        would under-budget and silently stride-drop real samples."""
+        base = self.tracer_cfg
+
+        def body(occ_state, rays, k):
+            m = occ.raymarch_ray(occ_state, self.model_cfg.occ_cfg, rays,
+                                 base.num_steps, k)
+            return jnp.mean(m['mask'].astype(jnp.float32))
+
+        return self._probe_fraction('probe', body)
 
     def _live_segment_fraction(self) -> float:
-        """Measured coarse-live segment fraction on a real presampled ray
-        batch (the paged path's stage-1 survival rate)."""
+        """Measured coarse-live segment fraction (the 'ray' paged path's
+        stage-1 survival rate)."""
         base = self.tracer_cfg
-        if 'probe_seg' not in self._fns:
-            d = self.dataset
 
-            def probe(occ_state, ro, rd, k):
-                rays = make_rays(ro, rd, d.dist_min, d.dist_max)
-                _, _, mask_c = rf_tracer.coarse_segment_live(
-                    occ_state, self.model_cfg.occ_cfg, base, rays, k)
-                return jnp.mean(mask_c.astype(jnp.float32))
+        def body(occ_state, rays, k):
+            _, _, mask_c = rf_tracer.coarse_segment_live(
+                occ_state, self.model_cfg.occ_cfg, base, rays, k)
+            return jnp.mean(mask_c.astype(jnp.float32))
 
-            self._fns['probe_seg'] = jax.jit(probe)
-        ro, rd, _ = self._presample(1)
-        self.rng, k = jax.random.split(self.rng)
-        frac = self._fns['probe_seg'](self.occ_state, jnp.asarray(ro[0]),
-                                      jnp.asarray(rd[0]), k)
-        return float(np.asarray(frac[None])[0])
+        return self._probe_fraction('probe_seg', body)
+
+    def _live_cell_hits_per_ray(self) -> float:
+        """Measured mean occupied-cell intersections per ray (the 'voxel'
+        paged path's segment count), clipped to the DDA budget."""
+        base = self.tracer_cfg
+
+        def body(occ_state, rays, k):
+            m = occ.raymarch_voxel(occ_state, self.model_cfg.occ_cfg, rays,
+                                   base.num_steps, k, base.max_intersections)
+            live = m['mask'].reshape(rays.origins.shape[0],
+                                     base.max_intersections, base.num_steps)
+            return jnp.mean(jnp.sum(live.any(-1).astype(jnp.float32), -1))
+
+        return self._probe_fraction('probe_voxel', body)
 
     def _adapt_budget(self):
         """Shrink the compaction budgets to match post-prune occupancy.
@@ -378,7 +395,8 @@ class MultiviewTrainer:
         k = min(k, base.max_samples)
         new = {'max_samples': k}
 
-        if base.segment_size > 0 and base.eval_seg_budget > 0:
+        if (base.raymarch_type == 'ray' and base.segment_size > 0
+                and base.eval_seg_budget > 0):
             g = base.segment_size
             ns = base.num_steps // g
             live = self._live_segment_fraction() * self.num_rays * ns
@@ -386,6 +404,15 @@ class MultiviewTrainer:
             want = pow2(max(min_seg, self.cfg.budget_headroom * live))
             sb_base = base.seg_budget or max(1, 8 * base.max_samples // g)
             new['seg_budget'] = min(want, sb_base)
+            new['eval_seg_budget'] = min(want, base.eval_seg_budget)
+            new['max_samples'] = min(k, new['eval_seg_budget'] * g)
+        elif base.raymarch_type == 'voxel' and base.eval_seg_budget > 0:
+            # voxel paged path: segments are occupied-cell intersections
+            # (group size = num_steps, not segment_size)
+            g = base.num_steps
+            live = self._live_cell_hits_per_ray() * self.num_rays
+            min_seg = max(256, self.cfg.min_budget // g)
+            want = pow2(max(min_seg, self.cfg.budget_headroom * live))
             new['eval_seg_budget'] = min(want, base.eval_seg_budget)
             new['max_samples'] = min(k, new['eval_seg_budget'] * g)
 
