@@ -419,10 +419,9 @@ class MultiviewTrainer:
         cur = {f: getattr(self.active_tracer_cfg, f) for f in new}
         if new != cur:
             self.active_tracer_cfg = dataclasses.replace(base, **new)
-            # drop cached chunk fns for other budgets (they keyed on the cfg)
-            self._fns = {f: v for f, v in self._fns.items()
-                         if not (isinstance(f, tuple) and f[0] == 'chunk')
-                         or f[2] == self.active_tracer_cfg}
+            # cached chunk fns for other budgets stay: probes hover around
+            # pow2 rungs, and re-evicting would recompile minutes-long XLA
+            # programs on every flip (the ladder bounds the cache size)
 
     def _presample(self, n: int):
         """Host-side ray batch presampling for one chunk (one view per step)."""

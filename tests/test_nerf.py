@@ -437,10 +437,10 @@ def test_adaptive_segment_budgets_shrink_after_prune():
     for v in (act.eval_seg_budget, act.seg_budget, act.max_samples):
         assert v > 0 and (v & (v - 1)) == 0, v
     assert act.max_samples <= act.eval_seg_budget * act.segment_size
-    # the chunk-fn cache keys on the full active cfg (stale fns dropped)
-    for f in trainer._fns:
-        assert not (isinstance(f, tuple) and f[0] == 'chunk'
-                    and f[2] != act)
+    # the chunk-fn cache keys on the full active cfg (other budgets' fns
+    # stay cached so probe oscillation around a pow2 rung never recompiles)
+    assert all(f[2] is not None for f in trainer._fns
+               if isinstance(f, tuple) and f[0] == 'chunk')
 
 
 def test_amp_head_close_to_f32():
