@@ -602,24 +602,64 @@ class MultiviewTrainer:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         mcfg, tcfg = self.model_cfg, self.tracer_cfg
 
-        if 'decode_once' not in self._fns:
-            self._fns['decode_once'] = jax.jit(
-                lambda p: lg.decode_codebook(p['grid'], mcfg.grid))
-        decoded = self._fns['decode_once'](params)
+        paged_eval = (mcfg.grid.hash_layout == 'paged'
+                      and lg.supports_affine_fusion(mcfg.grid)
+                      and tcfg.eval_seg_budget > 0
+                      and (tcfg.segment_size > 0
+                           or tcfg.raymarch_type == 'voxel'))
+        if paged_eval:
+            # eval-mode (rounded) affine parts replace the dense decode:
+            # the paged kernels decode after interpolation
+            if 'affine_once' not in self._fns:
+                self._fns['affine_once'] = jax.jit(
+                    lambda p: lg.affine_parts(p['grid'], mcfg.grid))
+            decoded = self._fns['affine_once'](params)
+        else:
+            if 'decode_once' not in self._fns:
+                self._fns['decode_once'] = jax.jit(
+                    lambda p: lg.decode_codebook(p['grid'], mcfg.grid))
+            decoded = self._fns['decode_once'](params)
 
         key = ('render_batch', float(d.dist_min), float(d.dist_max),
-               lod_mask is None)
+               lod_mask is None, paged_eval)
         if key not in self._fns:
             dist_min, dist_max = d.dist_min, d.dist_max
+            seg_group = (tcfg.num_steps if tcfg.raymarch_type == 'voxel'
+                         else tcfg.segment_size)
 
             @jax.jit
             def render_batch(params, decoded, occ_state, ro, rd, k, lmask):
+                rays = make_rays(ro, rd, dist_min, dist_max)
+                if paged_eval:
+                    parts = decoded
+
+                    def field_fn(coords, dirs):
+                        return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
+                                                  affine=parts,
+                                                  lod_mask=lmask)
+
+                    def zbar_fn(coords, grouping):
+                        return nerf_mod.nerf_zbar(params, mcfg, coords,
+                                                  grouping, seg_group,
+                                                  affine=parts)
+
+                    def finish_fn(zbar_c, coords_c):
+                        return nerf_mod.nerf_finish_feats(
+                            params, mcfg, zbar_c, coords_c, affine=parts,
+                            lod_mask=lmask)
+
+                    def head_fn(feats, dirs):
+                        return nerf_mod.nerf_head(params, mcfg, feats, dirs)
+
+                    return rf_tracer.trace(
+                        field_fn, occ_state, mcfg.occ_cfg, tcfg, rays, k,
+                        encode_split=(zbar_fn, finish_fn, head_fn))['rgb']
+
                 def field_fn(coords, dirs):
                     return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
                                               decoded=decoded,
                                               lod_mask=lmask)
 
-                rays = make_rays(ro, rd, dist_min, dist_max)
                 return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
                                        tcfg, rays, k)['rgb']
 
