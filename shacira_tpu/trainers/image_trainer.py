@@ -379,9 +379,14 @@ class ImageTrainer:
     def train(self, epochs: Optional[int] = None, log_fn=None,
               finalize: bool = True):
         """Run the training loop.  Returns the best-state summary dict
-        (or None when ``finalize=False`` — e.g. timing segments)."""
+        (or None when ``finalize=False`` — e.g. timing segments).
+
+        Default epoch count is the configured END minus already-run epochs
+        (absolute), so resuming from a checkpoint finishes the schedule
+        instead of restarting its count."""
         cfg = self.cfg
-        epochs = epochs if epochs is not None else cfg.epochs
+        epochs = (epochs if epochs is not None
+                  else max(0, cfg.epochs - self.epoch))
         ds = self.dataset
         if not ds.static_coords:
             return self._train_sampled(epochs, log_fn, finalize)

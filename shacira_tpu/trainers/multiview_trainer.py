@@ -442,8 +442,11 @@ class MultiviewTrainer:
 
     def train(self, num_iterations: Optional[int] = None, log_fn=None):
         cfg = self.cfg
+        # default: train to the configured END (absolute), so resuming from
+        # a checkpoint finishes the schedule instead of restarting its count
         total = (num_iterations if num_iterations is not None
-                 else cfg.epochs * self.iters_per_epoch)
+                 else max(0, cfg.epochs * self.iters_per_epoch
+                          - self.iteration))
         t0 = time.time()
         done = 0
         while done < total:

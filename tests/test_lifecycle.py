@@ -263,3 +263,51 @@ def test_multiview_lifecycle(tmp_path):
     assert os.path.exists(tmp_path / 'resume_state.ckpt')
     img = tr.render_view(0, dataset=val, ray_batch=100)  # pad-tail path
     assert img.shape == (16, 16, 3)
+
+
+def test_resume_default_trains_to_configured_end(tmp_path):
+    """After restore, train() with no explicit count must finish the
+    CONFIGURED schedule (absolute end), not run another full schedule —
+    the bug pattern: resume at epoch k then train cfg.epochs more."""
+    ds = ImageDataset(tiny_image(), sample_mode='full')
+    mk = lambda: ImageTrainerConfig(
+        epochs=8, chunk_size=4, log_every=100, use_sga=True, decay_period=0.9,
+        temperature=0.1, norm='max', norm_every=4, entropy_reg=1e-3,
+        entropy_reg_end=1e-4)
+    t_a = ImageTrainer(mk(), make_model_cfg(), ds, seed=3)
+    t_a.train(epochs=5, finalize=False)
+    path = str(tmp_path / 'resume_state.ckpt')
+    checkpoint.save_trainer(t_a, path)
+
+    t_b = ImageTrainer(mk(), make_model_cfg(), ds, seed=0)
+    checkpoint.restore_trainer(t_b, path)
+    t_b.train(finalize=False)
+    assert t_b.epoch == 8, t_b.epoch          # not 5 + 8
+
+    # multiview analog
+    from tests.test_nerf import synthetic_scene
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.tracers.rf_tracer import RFTracerConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+    data = synthetic_scene(num_views=4, res=16)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=8, init_grid='normal',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1))
+    mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=8, num_layers=1,
+                                     blas_level=3)
+    trcfg = RFTracerConfig(raymarch_type='ray', num_steps=16)
+    cfg = MultiviewTrainerConfig(epochs=5, prune_every=-1, chunk_size=4,
+                                 use_sga=False)
+    m_a = MultiviewTrainer(cfg, mcfg, trcfg, data, num_rays=32, seed=0)
+    m_a.train(num_iterations=8)               # 2 epochs of 4 iters
+    mpath = str(tmp_path / 'mv_resume.ckpt')
+    checkpoint.save_trainer(m_a, mpath)
+    m_b = MultiviewTrainer(cfg, mcfg, trcfg, data, num_rays=32, seed=9)
+    checkpoint.restore_trainer(m_b, mpath)
+    m_b.train()                               # default: to iteration 20
+    assert m_b.iteration == 20, m_b.iteration
