@@ -45,6 +45,36 @@ def occupancy_init(cfg: OccupancyGridConfig, occupied: bool = True):
     }
 
 
+def occupancy_from_points(cfg: OccupancyGridConfig, points, dilate: int = 1):
+    """Occupancy state seeded from a [-1,1]^3 pointcloud (+ dilation).
+
+    The reference pre-builds the RTMV octree from the depth pointcloud
+    (rtmv_dataset 'supports_depth' + OctreeAS.from_pointcloud) so
+    raymarching only ever visits the captured surface; the dense-grid
+    analog marks the cells containing points and max-dilates.  Tracked
+    densities start at zero, and prune_update keeps the previous occupancy
+    when nothing clears the threshold, so the seed persists until the
+    field's density forms.
+    """
+    import numpy as np
+    res = cfg.res
+    idx = np.clip(((np.asarray(points) * 0.5 + 0.5) * res), 0,
+                  res - 1e-5).astype(np.int64)
+    occ = np.zeros((res, res, res), bool)
+    occ[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+    o = jnp.asarray(occ)
+    if dilate > 0:
+        k = 2 * dilate + 1
+        u = o.astype(jnp.uint8)
+        for axis in range(3):          # separable 3D max filter
+            win = [1, 1, 1]
+            win[axis] = k
+            u = jax.lax.reduce_window(u, np.uint8(0), jax.lax.max,
+                                      tuple(win), (1, 1, 1), 'SAME')
+        o = u.astype(bool)
+    return {'density': jnp.zeros((res, res, res), jnp.float32), 'occ': o}
+
+
 def cell_index(cfg: OccupancyGridConfig, coords):
     """[-1,1]^3 coords -> integer cell ids [..., 3] (clamped)."""
     res = cfg.res

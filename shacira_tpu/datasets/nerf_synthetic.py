@@ -30,6 +30,9 @@ class MultiviewData:
     w: int
     dist_min: float = 0.0
     dist_max: float = 6.0  # nerf-synthetic default far (ref :384-385)
+    # optional depth pointcloud in normalized [-1,1] scene coords (RTMV
+    # RGB-D; the reference pre-prunes the octree from it, 'supports_depth')
+    pointcloud: 'np.ndarray' = None
 
     @property
     def num_views(self) -> int:

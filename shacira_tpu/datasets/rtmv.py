@@ -83,13 +83,37 @@ def load_rtmv(root: str, split: str = 'train', mip: int = 0,
     x0 = intr['cx'] * scale - w // 2
     y0 = intr['cy'] * scale - h // 2
 
-    # normalize scene into [-1,1] by camera-position bounding sphere
-    # (the reference uses the depth pointcloud center/scale, rtmv_dataset.py:89-108;
-    # camera-based normalization is used when depth channels are absent)
-    centers = poses[:, :3, 3]
-    center = centers.mean(axis=0)
-    radius = np.abs(centers - center).max()
-    poses[:, :3, 3] = (poses[:, :3, 3] - center) / (radius / 2.0)
+    # normalize the SCENE into [-1,1]: depth-pointcloud center/scale when
+    # depth channels exist (the reference's normalization,
+    # rtmv_dataset.py:89-108; depth = Euclidean ray distance), else fall
+    # back to the camera-position bounding sphere.  Applying the similarity
+    # transform to camera origins (directions unchanged) scales the implied
+    # scene identically, keeping multiview consistency.
+    pc = []
+    for img, depth, pose in zip(imgs, depths, poses):
+        if depth is None:
+            continue
+        hit = (img[..., 3] > 0.5) if img.shape[-1] >= 4 else depth > 0
+        if not hit.any():
+            continue
+        o, dirs = pinhole_rays(pose, h, w, fx, fy, x0, y0)
+        t = depth.reshape(-1)[hit.reshape(-1)]
+        pc.append(o[hit.reshape(-1)] + dirs[hit.reshape(-1)] * t[:, None])
+    pointcloud = None
+    if pc:
+        points = np.concatenate(pc, axis=0)
+        center = points.mean(axis=0)
+        scale = np.abs(points - center).max() / 0.9   # content within ±0.9
+        pointcloud = ((points - center) / scale).astype(np.float32)
+        if pointcloud.shape[0] > 500000:
+            keep = np.random.RandomState(0).choice(
+                pointcloud.shape[0], 500000, replace=False)
+            pointcloud = pointcloud[keep]
+    else:
+        centers = poses[:, :3, 3]
+        center = centers.mean(axis=0)
+        scale = np.abs(centers - center).max() / 2.0
+    poses[:, :3, 3] = (poses[:, :3, 3] - center) / scale
 
     rays_o, rays_d = [], []
     for pose in poses:
@@ -110,4 +134,4 @@ def load_rtmv(root: str, split: str = 'train', mip: int = 0,
         rgb=rgbs.reshape(len(sel), -1, 3).astype(np.float32),
         rays_o=np.stack(rays_o), rays_d=np.stack(rays_d),
         masks=masks.reshape(len(sel), -1, 1), h=h, w=w,
-        dist_min=0.0, dist_max=6.0)
+        dist_min=0.0, dist_max=6.0, pointcloud=pointcloud)

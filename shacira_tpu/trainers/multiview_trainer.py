@@ -116,6 +116,12 @@ class MultiviewTrainer:
 
         (self.params, self.opt_state, self.noise,
          self.occ_state) = jax.jit(_init)(k_init)
+        if getattr(dataset, 'pointcloud', None) is not None:
+            # depth-captured scenes (RTMV): seed occupancy from the depth
+            # pointcloud — the reference pre-builds the octree from it
+            # (OctreeAS.from_pointcloud; rtmv 'supports_depth')
+            self.occ_state = occ.occupancy_from_points(
+                model_cfg.occ_cfg, dataset.pointcloud)
         self.labels = optim.label_params(self.params, optim.shacira_label_fn)
         if mesh is not None:
             from shacira_tpu.parallel import mesh as pmesh

@@ -53,12 +53,64 @@ def test_rtmv_scene_loads_and_is_multiview_consistent(tmp_path):
     assert train.num_views == 7 and val.num_views == 1
     assert train.rgb.shape == (7, 32 * 32, 3)
     assert train.rays_o.shape == (7, 32 * 32, 3)
-    # normalized cameras live on a ~radius-2 sphere around the scene
+    # depth-based normalization: scene content maps into the unit cube
+    # (cameras end up outside it), and the normalized depth pointcloud of
+    # every view lies within +-0.9
     r = np.linalg.norm(train.rays_o[:, 0], axis=-1)
-    assert (r > 1.0).all() and (r < 3.5).all(), r
+    assert (r > 1.0).all() and (r < 8.0).all(), r
+    # every foreground (masked) ray must intersect the unit cube — the
+    # depth-pointcloud normalization puts scene content inside [-1, 1]
+    for v in range(train.num_views):
+        fg = train.masks[v, :, 0]
+        o = train.rays_o[v][fg]
+        d = train.rays_d[v][fg]
+        safe = np.where(np.abs(d) < 1e-9, 1e-9, d)
+        t0 = np.max(np.minimum((-1 - o) / safe, (1 - o) / safe), axis=-1)
+        t1 = np.min(np.maximum((-1 - o) / safe, (1 - o) / safe), axis=-1)
+        assert (t1 > np.maximum(t0, 0)).mean() > 0.99, v
     d = np.linalg.norm(train.rays_d, axis=-1)
     np.testing.assert_allclose(d, 1.0, atol=1e-5)
     # white-bg compositing: background pixels (alpha 0) are white
     bg = ~train.masks[..., 0]
     assert bg.any()
     np.testing.assert_allclose(train.rgb[bg], 1.0, atol=1e-6)
+
+
+def test_rtmv_pointcloud_seeds_occupancy(tmp_path):
+    """RTMV depth pointcloud pre-seeds the trainer's occupancy grid (the
+    reference builds the octree from it) — raymarching never wastes its
+    DDA budget on the empty volume of a captured scene."""
+    from tools.make_synthetic_data import write_rtmv_scene
+    from shacira_tpu.datasets.rtmv import load_rtmv
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.tracers.rf_tracer import RFTracerConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+    import jax.numpy as jnp
+
+    out = str(tmp_path / 'scene')
+    write_rtmv_scene(out, views=8, res=32)
+    data = load_rtmv(out, split='train')
+    assert data.pointcloud is not None and data.pointcloud.shape[1] == 3
+    assert np.abs(data.pointcloud).max() <= 0.95
+
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=8, init_grid='normal',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1))
+    mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=8, num_layers=1,
+                                     blas_level=5)
+    tr = MultiviewTrainer(MultiviewTrainerConfig(epochs=2, chunk_size=4,
+                                                 prune_every=-1,
+                                                 use_sga=False),
+                          mcfg, RFTracerConfig(raymarch_type='voxel',
+                                               num_steps=4,
+                                               max_intersections=16),
+                          data, num_rays=32, seed=0)
+    frac = float(np.asarray(jnp.mean(
+        tr.occ_state['occ'].astype(jnp.float32))[None])[0])
+    assert 0.0 < frac < 0.5, frac          # seeded sparse, not dense
+    tr.train(num_iterations=4)             # still trains
