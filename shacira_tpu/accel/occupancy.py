@@ -62,17 +62,21 @@ def occupancy_from_points(cfg: OccupancyGridConfig, points, dilate: int = 1):
                   res - 1e-5).astype(np.int64)
     occ = np.zeros((res, res, res), bool)
     occ[idx[:, 0], idx[:, 1], idx[:, 2]] = True
-    o = jnp.asarray(occ)
-    if dilate > 0:
-        k = 2 * dilate + 1
-        u = o.astype(jnp.uint8)
-        for axis in range(3):          # separable 3D max filter
-            win = [1, 1, 1]
-            win[axis] = k
-            u = jax.lax.reduce_window(u, np.uint8(0), jax.lax.max,
-                                      tuple(win), (1, 1, 1), 'SAME')
-        o = u.astype(bool)
-    return {'density': jnp.zeros((res, res, res), jnp.float32), 'occ': o}
+
+    @jax.jit
+    def build(o):
+        if dilate > 0:
+            k = 2 * dilate + 1
+            u = o.astype(jnp.uint8)
+            for axis in range(3):      # separable 3D max filter
+                win = [1, 1, 1]
+                win[axis] = k
+                u = jax.lax.reduce_window(u, np.uint8(0), jax.lax.max,
+                                          tuple(win), (1, 1, 1), 'SAME')
+            o = u.astype(bool)
+        return {'density': jnp.zeros((res, res, res), jnp.float32), 'occ': o}
+
+    return build(jnp.asarray(occ))
 
 
 def cell_index(cfg: OccupancyGridConfig, coords):

@@ -60,45 +60,71 @@ def load_rtmv(root: str, split: str = 'train', mip: int = 0,
     if max_views:
         sel = sel[:max_views]
 
-    imgs, depths, poses, intr = [], [], [], None
-    for base in sel:
+    def load_view(base):
         img = _read_exr(os.path.join(root, base + '.exr'))
         with open(os.path.join(root, base + '.json')) as f:
             meta = json.load(f)
         cam = meta['camera_data']
-        poses.append(np.asarray(cam['cam2world'], np.float32).T)
-        intr = cam['intrinsics']
+        pose = np.asarray(cam['cam2world'], np.float32).T
         if mip:
             step = 2 ** mip
             img = img[::step, ::step]
         rgba = img[..., :4] if img.shape[-1] >= 4 else img[..., :3]
+        depth = img[..., -1] if img.shape[-1] >= 5 else None
+        return rgba, depth, pose, cam['intrinsics']
+
+    imgs, depths, poses, intr = [], [], [], None
+    for base in sel:
+        rgba, depth, pose, intr = load_view(base)
         imgs.append(rgba)
-        depths.append(img[..., -1] if img.shape[-1] >= 5 else None)
+        depths.append(depth)
+        poses.append(pose)
 
     imgs = np.stack(imgs)
     poses = np.stack(poses)
     h, w = imgs.shape[1:3]
-    scale = 1.0 / (2 ** mip)
-    fx, fy = intr['fx'] * scale, intr['fy'] * scale
-    x0 = intr['cx'] * scale - w // 2
-    y0 = intr['cy'] * scale - h // 2
+    s = 1.0 / (2 ** mip)
+    fx, fy = intr['fx'] * s, intr['fy'] * s
+    x0 = intr['cx'] * s - w // 2
+    y0 = intr['cy'] * s - h // 2
 
-    # normalize the SCENE into [-1,1]: depth-pointcloud center/scale when
-    # depth channels exist (the reference's normalization,
-    # rtmv_dataset.py:89-108; depth = Euclidean ray distance), else fall
-    # back to the camera-position bounding sphere.  Applying the similarity
-    # transform to camera origins (directions unchanged) scales the implied
-    # scene identically, keeping multiview consistency.
-    pc = []
-    for img, depth, pose in zip(imgs, depths, poses):
-        if depth is None:
-            continue
-        hit = (img[..., 3] > 0.5) if img.shape[-1] >= 4 else depth > 0
+    # raygen once per selected view BEFORE normalization: the similarity
+    # transform below changes only camera positions, never directions
+    dirs_all = [pinhole_rays(pose, h, w, fx, fy, x0, y0)[1] for pose in poses]
+
+    # Normalize the SCENE into [-1,1] with depth-pointcloud center/scale
+    # (the reference's normalization, rtmv_dataset.py:89-108; depth = ray
+    # distance), camera-sphere fallback when no depth channel exists.  The
+    # frame is ALWAYS derived from the TRAIN files so every split shares
+    # one coordinate system.
+    def view_pointcloud(img_v, depth_v, pose_v, dirs_v):
+        if depth_v is None:
+            return None
+        alpha_ok = (img_v[..., 3] > 0.5) if img_v.shape[-1] >= 4 \
+            else np.ones(img_v.shape[:2], bool)
+        hit = (alpha_ok & (depth_v > 0) & np.isfinite(depth_v)).reshape(-1)
         if not hit.any():
-            continue
-        o, dirs = pinhole_rays(pose, h, w, fx, fy, x0, y0)
-        t = depth.reshape(-1)[hit.reshape(-1)]
-        pc.append(o[hit.reshape(-1)] + dirs[hit.reshape(-1)] * t[:, None])
+            return None
+        if dirs_v is None:
+            dirs_v = pinhole_rays(pose_v, h, w, fx, fy, x0, y0)[1]
+        t = depth_v.reshape(-1)[hit]
+        return pose_v[:3, 3][None, :] + dirs_v[hit] * t[:, None]
+
+    cache = {b: i for i, b in enumerate(sel)}
+    frame_files = files[:n_train] if n_train else files
+    pc, frame_cams = [], []
+    for base in frame_files:
+        if base in cache:
+            i = cache[base]
+            img_v, depth_v, pose_v, dirs_v = (imgs[i], depths[i], poses[i],
+                                              dirs_all[i])
+        else:
+            img_v, depth_v, pose_v, _ = load_view(base)
+            dirs_v = None
+        frame_cams.append(pose_v[:3, 3])
+        p = view_pointcloud(img_v, depth_v, pose_v, dirs_v)
+        if p is not None:
+            pc.append(p)
     pointcloud = None
     if pc:
         points = np.concatenate(pc, axis=0)
@@ -110,16 +136,22 @@ def load_rtmv(root: str, split: str = 'train', mip: int = 0,
                 pointcloud.shape[0], 500000, replace=False)
             pointcloud = pointcloud[keep]
     else:
-        centers = poses[:, :3, 3]
+        centers = np.stack(frame_cams)
         center = centers.mean(axis=0)
         scale = np.abs(centers - center).max() / 2.0
     poses[:, :3, 3] = (poses[:, :3, 3] - center) / scale
 
-    rays_o, rays_d = [], []
-    for pose in poses:
-        o, d = pinhole_rays(pose, h, w, fx, fy, x0, y0)
-        rays_o.append(o)
-        rays_d.append(d)
+    # ray distance bounds covering the unit cube from every camera (the old
+    # fixed far=6 silently missed the scene when normalized cameras sit
+    # farther out)
+    cam_r = np.linalg.norm(poses[:, :3, 3], axis=-1)
+    margin = float(np.sqrt(3.0))
+    dist_min = max(0.0, float(cam_r.min()) - margin)
+    dist_max = float(cam_r.max()) + margin
+
+    rays_o = np.stack([np.broadcast_to(pose[:3, 3], (h * w, 3))
+                       for pose in poses]).astype(np.float32)
+    rays_d = np.stack(dirs_all)
 
     rgbs = np.clip(imgs[..., :3], 0.0, 1.0)
     if imgs.shape[-1] >= 4:
@@ -132,6 +164,6 @@ def load_rtmv(root: str, split: str = 'train', mip: int = 0,
 
     return MultiviewData(
         rgb=rgbs.reshape(len(sel), -1, 3).astype(np.float32),
-        rays_o=np.stack(rays_o), rays_d=np.stack(rays_d),
+        rays_o=rays_o, rays_d=rays_d,
         masks=masks.reshape(len(sel), -1, 1), h=h, w=w,
-        dist_min=0.0, dist_max=6.0, pointcloud=pointcloud)
+        dist_min=dist_min, dist_max=dist_max, pointcloud=pointcloud)
