@@ -33,6 +33,10 @@ class MultiviewData:
     # optional depth pointcloud in normalized [-1,1] scene coords (RTMV
     # RGB-D; the reference pre-prunes the octree from it, 'supports_depth')
     pointcloud: 'np.ndarray' = None
+    # similarity transform applied to camera origins (the reference keeps
+    # coords_center / coords_scale on the dataset); None = identity
+    norm_center: 'np.ndarray' = None
+    norm_scale: float = 1.0
 
     @property
     def num_views(self) -> int:

@@ -166,4 +166,6 @@ def load_rtmv(root: str, split: str = 'train', mip: int = 0,
         rgb=rgbs.reshape(len(sel), -1, 3).astype(np.float32),
         rays_o=rays_o, rays_d=rays_d,
         masks=masks.reshape(len(sel), -1, 1), h=h, w=w,
-        dist_min=dist_min, dist_max=dist_max, pointcloud=pointcloud)
+        dist_min=dist_min, dist_max=dist_max, pointcloud=pointcloud,
+        norm_center=np.asarray(center, np.float32),
+        norm_scale=float(scale))

@@ -114,3 +114,32 @@ def test_rtmv_pointcloud_seeds_occupancy(tmp_path):
         tr.occ_state['occ'].astype(jnp.float32))[None])[0])
     assert 0.0 < frac < 0.5, frac          # seeded sparse, not dense
     tr.train(num_iterations=4)             # still trains
+
+
+def test_rtmv_splits_share_one_frame(tmp_path):
+    """Train and val splits must normalize into the SAME coordinate frame:
+    surface points reconstructed from VAL depths with the val split's rays
+    must coincide with the train split's depth pointcloud."""
+    from tools.make_synthetic_data import write_rtmv_scene
+    from shacira_tpu.datasets.rtmv import load_rtmv
+    from shacira_tpu.ops.exr import read_exr_rgba
+
+    out = str(tmp_path / 'scene')
+    write_rtmv_scene(out, views=12, res=32)
+    train = load_rtmv(out, split='train')
+    val = load_rtmv(out, split='val')
+    np.testing.assert_allclose(val.norm_center, train.norm_center)
+    assert val.norm_scale == train.norm_scale
+    # reconstruct the first val view's surface in the normalized frame
+    files = sorted(f for f in os.listdir(out) if f.endswith('.exr'))
+    n_train = int(len(files) * 0.7)
+    img = read_exr_rgba(os.path.join(out, files[n_train]))
+    hit = (img[..., 3] > 0.5).reshape(-1) & (img[..., 4].reshape(-1) > 0)
+    t = img[..., 4].reshape(-1)[hit] / val.norm_scale
+    pts = val.rays_o[0][hit] + val.rays_d[0][hit] * t[:, None]
+    # every val surface point lies near the train pointcloud (same frame)
+    sub = train.pointcloud[np.random.RandomState(0).choice(
+        len(train.pointcloud), min(4000, len(train.pointcloud)),
+        replace=False)]
+    d = np.sqrt(((pts[:, None, :] - sub[None, :, :]) ** 2).sum(-1)).min(1)
+    assert np.median(d) < 0.05, float(np.median(d))
