@@ -21,7 +21,8 @@ A100_REF_RAYS_S = 80000.0
 
 
 def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
-            seg_dilation: int = 1, seg_budget: int = 0):
+            seg_dilation: int = 1, seg_budget: int = 0,
+            num_rays: int = 4096):
     import jax
     sys.path.insert(0, 'tests')
     from test_nerf import synthetic_scene
@@ -45,17 +46,19 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
                                      view_embedder='positional',
                                      view_multires=4, blas_level=7,
                                      amp=True)
+    r = num_rays // 4096                              # budget scale factor
     tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
-                                    bg_color='white', max_samples=262144,
+                                    bg_color='white',
+                                    max_samples=262144 * r,
                                     segment_size=16, coarse_level=coarse_level,
                                     seg_dilation=seg_dilation,
-                                    seg_budget=seg_budget,
-                                    eval_seg_budget=24576 if paged else 0,
+                                    seg_budget=seg_budget * r,
+                                    eval_seg_budget=24576 * r if paged else 0,
                                     fine_mode='deferred' if paged else 'exact')
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  use_sga=True, temperature=1.0,
                                  entropy_reg=1e-4, entropy_reg_end=1e-4)
-    tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)
+    tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=num_rays, seed=0)
 
     tr.train(num_iterations=10)                       # warmup + compile
     np.asarray(tr.params['grid']['codebook'][0:1])
@@ -63,16 +66,16 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
     tr.train(num_iterations=iters)
     np.asarray(tr.params['grid']['codebook'][0:1])
     dt = time.time() - t0
-    rays_s = 4096 * iters / dt
+    rays_s = num_rays * iters / dt
     return {
         'metric': 'nerf_train_rays_per_s',
         'value': round(rays_s, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_s / A100_REF_RAYS_S, 3),
-        'config': 'lego-shaped: 24 LODs bw19 F4, ray-march 2048 steps, '
-                  '4096 rays/iter, 262144-sample budget, 16-sample '
-                  'segment culling'
-                  + (', paged encode (24576-segment eval budget)'
+        'config': f'lego-shaped: 24 LODs bw19 F4, ray-march 2048 steps, '
+                  f'{num_rays} rays/iter, {262144 * r}-sample budget, '
+                  '16-sample segment culling'
+                  + (f', paged encode ({24576 * r}-segment eval budget)'
                      if paged else ''),
     }
 

@@ -192,3 +192,49 @@ def test_pipeline_and_decode_once():
                                                       decoded=decoded))
     out = p(params, coords)
     assert out.shape == (4, 6)
+
+
+def test_optimization_app_trains_while_serving():
+    """OptimizationApp (ref wisp optimization_app.py:19-108): training runs
+    in the background while the HTTP viewer renders live frames against the
+    advancing parameters."""
+    import urllib.request
+    from tests.test_nerf import synthetic_scene
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.tracers.rf_tracer import RFTracerConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+    from shacira_tpu.render.offline import CameraConfig
+    from shacira_tpu.render.optimization_app import OptimizationApp
+
+    data = synthetic_scene(num_views=4, res=16)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=8, init_grid='normal',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1))
+    mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=8, num_layers=1,
+                                     blas_level=3)
+    tr = MultiviewTrainer(MultiviewTrainerConfig(epochs=5, chunk_size=4,
+                                                 prune_every=-1,
+                                                 use_sga=False),
+                          mcfg, RFTracerConfig(raymarch_type='ray',
+                                               num_steps=16),
+                          data, num_rays=32, seed=0)
+    app = OptimizationApp.from_multiview(
+        tr, camera=CameraConfig(width=8, height=8), port=18931)
+
+    frames = {}
+
+    def poll(entry):
+        # fetch a live frame mid-training through the HTTP surface
+        if entry['iteration'] == 8 and 'mid' not in frames:
+            frames['mid'] = urllib.request.urlopen(
+                'http://127.0.0.1:18931/render?theta=0&phi=0&radius=3',
+                timeout=30).read()
+
+    app.run(num_iterations=16, log_fn=poll)
+    assert tr.iteration == 16
+    assert frames['mid'][:2] == b'\xff\xd8'   # JPEG rendered mid-training
