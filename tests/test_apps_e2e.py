@@ -1,0 +1,63 @@
+"""CLI apps end-to-end on tiny synthetic data (CPU).
+
+Drives apps/train_image.py exactly as a user would — train, then
+--valid-only compressed inference (decode-once + DecoderIdentity swap,
+ref main_image.py:591-600) — asserting the artifact files and metrics.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    from PIL import Image
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 48),
+                             indexing='ij')
+        img = np.stack([0.5 + 0.4 * np.sin(5 * xx + i),
+                        0.5 + 0.4 * np.cos(4 * yy),
+                        xx * yy], -1)
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+            str(d / f'im{i}.png'))
+    return str(d)
+
+
+def _args(image_dir, log_dir, extra=()):
+    return ['--dataset-path', image_dir, '--log-dir', log_dir,
+            '--exp-name', 'e2e', '--epochs', '60', '--chunk-size', '30',
+            '--num-lods', '4', '--min-grid-res', '4', '--max-grid-res', '16',
+            '--codebook-bitwidth', '8', '--feature-dim', '1',
+            '--hidden-dim', '8', '--num-layers', '1',
+            '--ldecode-enabled', 'True', '--use-sga', 'True',
+            '--entropy-reg', '1e-3', '--log-every', '-1'] + list(extra)
+
+
+def test_train_image_app_then_valid_only(image_dir, tmp_path):
+    from shacira_tpu.apps import train_image
+
+    log_dir = str(tmp_path / 'runs')
+    assert train_image.main(_args(image_dir, log_dir)) == 0
+    exp = os.path.join(log_dir, 'e2e')
+    listing = os.listdir(exp)
+    # per-image dirs + aggregate metrics + completion marker
+    assert 'metrics.json' in listing and 'complete' in listing
+    with open(os.path.join(exp, 'metrics.json')) as f:
+        agg = json.load(f)
+    assert agg['average']['num_images'] == 2
+    assert np.isfinite(agg['average']['PSNR'])
+    trained_psnr = agg['average']['PSNR']
+
+    # --valid-only: loads model_best, decodes the codebook ONCE, re-evaluates
+    assert train_image.main(_args(image_dir, log_dir,
+                                  ['--valid-only'])) == 0
+    with open(os.path.join(exp, 'metrics.json')) as f:
+        agg2 = json.load(f)
+    # compressed inference reproduces the trained quality
+    assert abs(agg2['average']['PSNR'] - trained_psnr) < 0.75, (
+        agg2['average']['PSNR'], trained_psnr)
