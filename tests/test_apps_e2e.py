@@ -61,3 +61,31 @@ def test_train_image_app_then_valid_only(image_dir, tmp_path):
     # compressed inference reproduces the trained quality
     assert abs(agg2['average']['PSNR'] - trained_psnr) < 0.75, (
         agg2['average']['PSNR'], trained_psnr)
+
+
+def test_train_image_app_pretrained_and_profile(image_dir, tmp_path):
+    """--pretrained warm-starts from a saved model; --profile wraps the run
+    in a jax.profiler trace (ref base_trainer.py:449 emit_nvtx analog)."""
+    from shacira_tpu.apps import train_image
+
+    log_a = str(tmp_path / 'a')
+    assert train_image.main(_args(image_dir, log_a)) == 0
+    best = os.path.join(log_a, 'e2e', 'im0', 'model_best.ckpt')
+    if not os.path.exists(best):
+        # per-image subdir layout may differ; find any model_best
+        cands = [os.path.join(r, f) for r, _, fs in os.walk(log_a)
+                 for f in fs if f == 'model_best.ckpt']
+        assert cands, os.listdir(os.path.join(log_a, 'e2e'))
+        best = cands[0]
+
+    log_b = str(tmp_path / 'b')
+    assert train_image.main(_args(image_dir, log_b,
+                                  ['--pretrained', best,
+                                   '--profile', '--epochs', '30'])) == 0
+    # profile trace directory was produced by jax.profiler
+    prof = [os.path.join(r, f) for r, _, fs in os.walk(log_b)
+            for f in fs if 'xplane' in f or f.endswith('.trace.json.gz')]
+    assert prof, 'no profiler artifacts written'
+    with open(os.path.join(log_b, 'e2e', 'metrics.json')) as f:
+        agg = json.load(f)
+    assert np.isfinite(agg['average']['PSNR'])
