@@ -89,3 +89,38 @@ def test_train_image_app_pretrained_and_profile(image_dir, tmp_path):
     with open(os.path.join(log_b, 'e2e', 'metrics.json')) as f:
         agg = json.load(f)
     assert np.isfinite(agg['average']['PSNR'])
+
+
+def test_train_nerf_app_e2e(tmp_path):
+    """apps/train_nerf.py end-to-end on a tiny generated Blender scene:
+    training, held-out validation, size report, turntable, then
+    --valid-only reload."""
+    from tools.make_synthetic_data import write_nerf_scene
+    from shacira_tpu.apps import train_nerf
+
+    scene = str(tmp_path / 'scene')
+    write_nerf_scene(scene, views=6, val_views=2, res=16)
+    log_dir = str(tmp_path / 'runs')
+    args = ['--dataset-path', scene, '--log-dir', log_dir,
+            '--exp-name', 'nerf_e2e', '--epochs', '4', '--chunk-size', '6',
+            '--num-lods', '3', '--min-grid-res', '4', '--max-grid-res', '16',
+            '--codebook-bitwidth', '8', '--feature-dim', '2',
+            '--hidden-dim', '8', '--num-layers', '1', '--blas-level', '3',
+            '--num-steps', '32', '--num-rays-sampled-per-img', '64',
+            '--ldecode-enabled', 'True', '--entropy-reg', '1e-4',
+            '--render-batch', '128', '--log-every', '-1']
+    assert train_nerf.main(args) == 0
+    exp = os.path.join(log_dir, 'nerf_e2e')
+    with open(os.path.join(exp, 'metrics.json')) as f:
+        m = json.load(f)
+    assert m['split'] == 'val' and np.isfinite(m['psnr'])
+    assert m['total_size_kb'] > 0
+    for f_ in ('val_view0.png', 'turntable.gif', 'model_best.ckpt',
+               'logs.parquet'):
+        assert f_ in os.listdir(exp), f_
+
+    # valid-only reload path
+    assert train_nerf.main(args + ['--valid-only']) == 0
+    with open(os.path.join(exp, 'metrics.json')) as f:
+        m2 = json.load(f)
+    assert np.isfinite(m2['psnr'])
