@@ -452,7 +452,10 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
     bc = bc_ref[i]
     is_pad = bc == N_CELLS          # grouping put pad blocks last
     c3 = _kernel_block_cell3(bc)
-    coords3 = tuple(coords_ref[0, d] for d in range(3))
+    # blocks wider than 128 rows process 128-lane halves (Mosaic cannot
+    # shape-cast [C, 256] -> [C*256]); one grid step amortizes the window
+    # fetch and per-step overhead over all halves
+    hb = min(B, 128)
 
     @pl.when(is_pad)
     def _():
@@ -460,20 +463,24 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
 
     @pl.when(jnp.logical_not(is_pad))
     def _():
-        li = 0
-        for di, w in enumerate(WS):
-            ent, psel, wgt = _kernel_direct_corners(coords3, c3, RES_D[di],
-                                                    STARTS_D[di], w)
-            out_ref[0, li] = _lod_gather(ent, psel, wgt, slabs[di][0],
-                                         E=w * w, NP=w, C=C, B=B, LD=LD,
-                                         dtype=dtype)
-            li += 1
-        for pi, res in enumerate(RES_P):
-            ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E)
-            out_ref[0, li] = _lod_gather(ent, psel, wgt, neigh[0, pi],
-                                         E=E, NP=N_NEIGH, C=C, B=B, LD=LD,
-                                         dtype=dtype)
-            li += 1
+        for h in range(B // hb):
+            coords3 = tuple(coords_ref[0, d, h * hb:(h + 1) * hb]
+                            for d in range(3))
+            sl = slice(h * hb, (h + 1) * hb)
+            li = 0
+            for di, w in enumerate(WS):
+                ent, psel, wgt = _kernel_direct_corners(
+                    coords3, c3, RES_D[di], STARTS_D[di], w)
+                out_ref[0, li, :, sl] = _lod_gather(
+                    ent, psel, wgt, slabs[di][0],
+                    E=w * w, NP=w, C=C, B=hb, LD=LD, dtype=dtype)
+                li += 1
+            for pi, res in enumerate(RES_P):
+                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E)
+                out_ref[0, li, :, sl] = _lod_gather(
+                    ent, psel, wgt, neigh[0, pi],
+                    E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype)
+                li += 1
 
 
 def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
@@ -487,7 +494,7 @@ def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
     prev = bc_ref[jnp.maximum(i - 1, 0)]
     first = (i == 0) | (bc != prev)
     c3 = _kernel_block_cell3(bc)
-    coords3 = tuple(coords_ref[0, d] for d in range(3))
+    hb = min(B, 128)                 # 128-lane halves (see _gather_kernel)
 
     @pl.when(first)
     def _():
@@ -497,20 +504,24 @@ def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
     # pad blocks (sorted last by grouping) only zero their dropped window
     @pl.when(bc != N_CELLS)
     def _():
-        li = 0
-        for di, w in enumerate(WS):
-            ent, psel, wgt = _kernel_direct_corners(coords3, c3, RES_D[di],
-                                                    STARTS_D[di], w)
-            outs[di][0] += _lod_scatter(ent, psel, wgt, g_ref[0, li],
-                                        E=w * w, NP=w, C=C, B=B, LD=LD,
-                                        dtype=dtype)
-            li += 1
-        for pi, res in enumerate(RES_P):
-            ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E)
-            outs[len(WS)][0, pi] += _lod_scatter(
-                ent, psel, wgt, g_ref[0, li],
-                E=E, NP=N_NEIGH, C=C, B=B, LD=LD, dtype=dtype)
-            li += 1
+        for h in range(B // hb):
+            coords3 = tuple(coords_ref[0, d, h * hb:(h + 1) * hb]
+                            for d in range(3))
+            sl = slice(h * hb, (h + 1) * hb)
+            li = 0
+            for di, w in enumerate(WS):
+                ent, psel, wgt = _kernel_direct_corners(
+                    coords3, c3, RES_D[di], STARTS_D[di], w)
+                outs[di][0] += _lod_scatter(
+                    ent, psel, wgt, g_ref[0, li, :, sl],
+                    E=w * w, NP=w, C=C, B=hb, LD=LD, dtype=dtype)
+                li += 1
+            for pi, res in enumerate(RES_P):
+                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E)
+                outs[len(WS)][0, pi] += _lod_scatter(
+                    ent, psel, wgt, g_ref[0, li, :, sl],
+                    E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype)
+                li += 1
 
 
 def _neigh_table(table, e: int, ld: int):

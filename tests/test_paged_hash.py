@@ -336,3 +336,43 @@ def test_voxel_paged_trainer_trains():
     t.train(num_iterations=30)
     m = t.evaluate(view_indices=[0])
     assert np.isfinite(m['psnr']) and m['psnr'] > 10, m
+
+
+@pytest.mark.parametrize('spb,g', [(32, 8), (64, 4)])
+def test_paged_interp_wide_blocks_match_xla(spb, g):
+    """Blocks wider than 128 rows (B = spb*g = 256) run as two 128-lane
+    halves inside one grid step — must still match the XLA gather path,
+    forward and gradient."""
+    rng = np.random.default_rng(9)
+    spec = _paged_spec((48, 81, 128), bw=17)
+    _, pag = ph.paged_lods(spec)
+    k_seg = 256
+    coords, centers, live = _fake_segments(rng, k_seg, g)
+    n_blocks = -(-k_seg // spb) + ph.N_CELLS
+    grp = ph.group_segments(centers, live, spb, n_blocks)
+    ns = grp['slotseg_to_seg'].shape[0] * g
+    z = jnp.asarray(rng.normal(size=(spec.total_size, 1)), jnp.float32)
+    rows = coords.reshape(k_seg, g * 3)
+    safe = jnp.minimum(grp['slotseg_to_seg'], k_seg - 1)
+    slot_rows = jnp.take(rows, safe, axis=0)
+    slot_valid_seg = grp['slotseg_to_seg'] < k_seg
+    coords_s = jnp.where(slot_valid_seg[:, None], slot_rows,
+                         0.0).reshape(ns, 3)
+    slot_valid = jnp.repeat(slot_valid_seg, g)
+    static = ph.PagedStatic(spec=spec, lods=pag, interpret=True,
+                            use_bf16=False)
+    out = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
+                               grp['cell_used'], z, static)
+    ref = hg.hash_encode(coords_s, z, spec)[:, pag, :] \
+        * slot_valid[:, None, None]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    r = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    gk = jax.grad(lambda zz: jnp.sum(ph.paged_interp_lods(
+        coords_s, slot_valid, grp['block_cell'], grp['cell_used'],
+        zz, static) * r))(z)
+    gr = jax.grad(lambda zz: jnp.sum(
+        hg.hash_encode(coords_s, zz, spec)[:, pag, :]
+        * slot_valid[:, None, None] * r))(z)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
