@@ -56,6 +56,7 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
                                     eval_seg_budget=24576 * r if paged else 0,
                                     fine_mode='deferred' if paged else 'exact')
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
+                                 rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
                                  entropy_reg=1e-4, entropy_reg_end=1e-4)
     tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=num_rays, seed=0)
@@ -117,6 +118,7 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                     eval_seg_budget=24576,
                                     fine_mode='deferred')
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=100, chunk_size=50,
+                                 rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
                                  entropy_reg=1e-4, entropy_reg_end=1e-4,
                                  adaptive_budget=True, min_budget=8192)
@@ -175,6 +177,7 @@ def measure_voxel(paged: bool = True, iters: int = 30):
         max_intersections=64, max_samples=262144,
         eval_seg_budget=16384 if paged else 0)
     cfg = MultiviewTrainerConfig(epochs=600, prune_every=-1, chunk_size=10,
+                                 rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
                                  entropy_reg=1e-4, entropy_reg_end=1e-4)
     tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)

@@ -99,6 +99,8 @@ def build_image_parser() -> argparse.ArgumentParser:
     g.add_argument('--entropy-reg-end', type=float, default=0.0)
     g.add_argument('--entropy-reg-sched', type=str, default='cosine')
     g.add_argument('--noise-freq', type=int, default=1)
+    g.add_argument('--rng-impl', type=str, default='threefry',
+                   help='per-step bulk-draw generator: threefry|rbg|unsafe_rbg')
 
     g = parser.add_argument_group('optimizer')
     g.add_argument('--optimizer-type', type=str, default='adam')
@@ -269,7 +271,7 @@ def build_grid_config(args, resolution_dim: int):
         init_grid=args.init_grid,
         hash_layout=getattr(args, 'hash_layout', 'xor'),
         num_prob_layers=args.num_prob_layers,
-        noise_freq=args.noise_freq,
+        noise_freq=args.noise_freq, rng_impl=args.rng_impl,
         entropy_enabled=args.ldecode_enabled and (
             args.entropy_reg > 0 or args.entropy_reg_end > 0),
     )
@@ -310,6 +312,7 @@ def build_image_trainer_config(args):
         norm=args.norm, norm_every=args.norm_every,
         entropy_reg=args.entropy_reg, entropy_reg_end=args.entropy_reg_end,
         entropy_reg_sched=args.entropy_reg_sched, noise_freq=args.noise_freq,
+        rng_impl=args.rng_impl,
         resample=args.resample, resample_every=args.resample_every,
         chunk_size=args.chunk_size, log_every=args.log_every,
         valid_every=args.valid_every, save_every=args.save_every,
@@ -355,6 +358,7 @@ def build_nerf_trainer_config(args):
         decay_period=args.decay_period, temperature=args.temperature,
         entropy_reg=args.entropy_reg, entropy_reg_end=args.entropy_reg_end,
         entropy_reg_sched=args.entropy_reg_sched, noise_freq=args.noise_freq,
+        rng_impl=args.rng_impl,
         prune_every=args.prune_every, random_lod=args.random_lod,
         adaptive_budget=args.adaptive_budget,
         budget_headroom=args.budget_headroom, min_budget=args.min_budget,

@@ -42,6 +42,7 @@ from shacira_tpu.models.nefs.image import (
 from shacira_tpu.models.grids import latent_grid as lg
 from shacira_tpu.models.latent_decoders import recalibrate_div, scale_norm
 from shacira_tpu.ops.image import clamped_psnr
+from shacira_tpu.utils.rng import step_key
 from shacira_tpu import optim
 
 
@@ -69,6 +70,8 @@ class ImageTrainerConfig:
     entropy_reg_end: float = 0.0
     entropy_reg_sched: str = 'cosine'
     noise_freq: int = 1
+    # generator for the per-step full-codebook draws (see utils/rng.py)
+    rng_impl: str = 'threefry'
     # dataset resampling for 'woreplace' (ref pre_epoch, image_trainer.py:119-121)
     resample: bool = False
     resample_every: int = 1
@@ -173,6 +176,10 @@ class ImageTrainer:
                  ent_lambda, temperature, lr_ldec, do_recalib, refresh_noise,
                  lod_mask):
             k_sga, k_noise = jax.random.split(rng)
+            # bulk full-codebook draws ride the configured generator
+            # (utils/rng.py — hardware RngBitGenerator when 'unsafe_rbg')
+            k_sga = step_key(k_sga, cfg.rng_impl)
+            k_noise = step_key(k_noise, cfg.rng_impl)
 
             # latent norm recalibration (pre-forward, ref :284-296; the
             # reference applies it only to the single LatentDecoder, :287)
@@ -184,10 +191,13 @@ class ImageTrainer:
                 params = {**params, 'grid': {**params['grid'],
                                              'latent_dec': {**ld, 'div': div}}}
 
-            # rate-loss noise refresh (ref latent_grid.py:126-131)
+            # rate-loss noise refresh (ref latent_grid.py:126-131);
+            # cond, not where: skip the full-table draw on non-refresh steps
             if entropy_on:
-                fresh = jax.random.uniform(k_noise, noise.shape) - 0.5
-                noise = jnp.where(refresh_noise, fresh, noise)
+                noise = jax.lax.cond(
+                    refresh_noise,
+                    lambda nz: jax.random.uniform(k_noise, nz.shape) - 0.5,
+                    lambda nz: nz, noise)
 
             def loss_fn(p):
                 encoder = None

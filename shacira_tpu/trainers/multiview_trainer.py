@@ -33,6 +33,7 @@ from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
 from shacira_tpu.tracers import rf_tracer
 from shacira_tpu.ops.image import clamped_psnr, psnr as float_psnr, ssim
 from shacira_tpu import optim
+from shacira_tpu.utils.rng import step_key
 
 
 @dataclass
@@ -56,6 +57,10 @@ class MultiviewTrainerConfig:
     entropy_reg_end: float = 1e-4
     entropy_reg_sched: str = 'cosine'
     noise_freq: int = 1
+    # generator for the per-step full-codebook draws (rate-loss dither +
+    # SGA logistic); 'unsafe_rbg' = TPU hardware RngBitGenerator
+    # (utils/rng.py).  Key stream / checkpoints stay threefry either way.
+    rng_impl: str = 'threefry'
     # pruning
     prune_every: int = 100          # iterations (-1 disables)
     # adaptive sample budget: after each prune, shrink the tracer's
@@ -184,9 +189,17 @@ class MultiviewTrainer:
         def step(params, opt_state, noise, occ_state, rays_o, rays_d, gt, rng,
                  ent_lambda, temperature, lr_ldec, refresh_noise, lod_mask):
             k_sga, k_noise, k_march = jax.random.split(rng, 3)
+            # bulk full-codebook draws ride the configured generator
+            # (utils/rng.py — hardware RngBitGenerator when 'unsafe_rbg')
+            k_sga = step_key(k_sga, cfg.rng_impl)
+            k_noise = step_key(k_noise, cfg.rng_impl)
             if entropy_on:
-                fresh = jax.random.uniform(k_noise, noise.shape) - 0.5
-                noise = jnp.where(refresh_noise, fresh, noise)
+                # cond, not where: skip the full-table draw on non-refresh
+                # steps (noise_freq > 1 configs, e.g. pearl's 50)
+                noise = jax.lax.cond(
+                    refresh_noise,
+                    lambda n: jax.random.uniform(k_noise, n.shape) - 0.5,
+                    lambda n: n, noise)
 
             rays = make_rays(rays_o, rays_d, dist_min, dist_max)
 
