@@ -271,7 +271,7 @@ def build_grid_config(args, resolution_dim: int):
         init_grid=args.init_grid,
         hash_layout=getattr(args, 'hash_layout', 'xor'),
         num_prob_layers=args.num_prob_layers,
-        noise_freq=args.noise_freq, rng_impl=args.rng_impl,
+        noise_freq=args.noise_freq,
         entropy_enabled=args.ldecode_enabled and (
             args.entropy_reg > 0 or args.entropy_reg_end > 0),
     )
