@@ -99,12 +99,16 @@ def main(argv=None):
         trainer.params = state['params']
         log.info('valid-only: loaded model_best.ckpt')
 
-    # full held-out evaluation (ref evaluate_metrics on the val split)
+    # full held-out evaluation: EVERY view of the val split, like the
+    # reference (multiview_trainer.py:177-235 iterates the whole dataset);
+    # PSNR is the float variant — the exact fn the reference imports there
+    # (metrics.py:19-37 via multiview_trainer.py:18)
     eval_data = val_data if val_data is not None else data
-    val_views = list(range(0, eval_data.num_views,
-                           max(1, eval_data.num_views // 8)))
+    val_views = list(range(eval_data.num_views))
     metrics = trainer.evaluate(view_indices=val_views, dataset=eval_data)
     metrics['split'] = 'val' if val_data is not None else args.dataset_split
+    metrics['views'] = 'all'
+    metrics['num_eval_views'] = len(val_views)
     metrics.update(trainer.size_report(use_codec=True))
     log.info('Validation (%s): PSNR %.2f | SSIM %.4f', metrics['split'],
              metrics['psnr'], metrics['ssim'])
@@ -124,10 +128,11 @@ def main(argv=None):
     return 0
 
 
-def render_turntable(trainer, args, num_angles: int = 8, res: int = 256):
+def render_turntable(trainer, args, num_angles: int = None, res: int = None):
     """Render a 360-degree turntable with the trained pipeline
-    (ref multiview_trainer.py:237-273; LOD masking = RENDERING_FINAL uses all
-    LODs at the final level)."""
+    (ref render_final_view, multiview_trainer.py:237-273: ``num_angles + 1``
+    frames at pi*0.1 angular increments, full dataset resolution; LOD
+    masking = RENDERING_FINAL uses all LODs at the final level)."""
     import jax
     from shacira_tpu.core.rays import make_rays
     from shacira_tpu.render import offline
@@ -136,6 +141,10 @@ def render_turntable(trainer, args, num_angles: int = 8, res: int = 256):
     from shacira_tpu.tracers import rf_tracer
 
     d = trainer.dataset
+    if num_angles is None:
+        num_angles = getattr(args, 'num_angles', 20)
+    if res is None:
+        res = getattr(args, 'turntable_res', 0) or max(d.h, d.w)
     cam = offline.CameraConfig(width=res, height=res, fov=30.0,
                                dist_min=float(d.dist_min),
                                dist_max=float(d.dist_max))

@@ -185,6 +185,11 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # composite debug data layers (occupancy wireframe + axes gizmo) over the
     # turntable frames (ref active-data-layer painting, wisp_app.py:451)
     g.add_argument('--overlay-layers', type=_bool, default=False)
+    # 360-degree turntable breadth (ref render_final_view sweeps pi*0.1
+    # increments over num_angles+1 frames, multiview_trainer.py:237-245;
+    # 20 -> a full revolution).  0 res = dataset resolution.
+    g.add_argument('--num-angles', type=int, default=20)
+    g.add_argument('--turntable-res', type=int, default=0)
     return parser
 
 

@@ -66,3 +66,37 @@ def test_npz_roundtrip(tmp_path, weights):
     b = rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
     assert L.lpips(a, b, weights=loaded) == pytest.approx(
         L.lpips(a, b, weights=weights), rel=1e-5)
+
+
+def test_convert_script_mode_b(tmp_path):
+    """tools/convert_lpips.py mode B: torch VGG16 + lin checkpoints -> .npz
+    in the exact layout load_lpips_weights expects."""
+    torch = pytest.importorskip('torch')
+    import sys
+    sys.path.insert(0, 'tools')
+    import convert_lpips
+
+    rng = np.random.RandomState(0)
+    # torchvision VGG16 conv layer indices within `features`
+    conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    widths = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    vgg, cin = {}, 3
+    for i, c in zip(conv_ids, widths):
+        vgg[f'features.{i}.weight'] = torch.tensor(
+            rng.randn(c, cin, 3, 3).astype(np.float32))
+        vgg[f'features.{i}.bias'] = torch.zeros(c)
+        cin = c
+    lin = {f'lin{li}.model.1.weight': torch.tensor(
+               rng.uniform(0, 1, (c, 1, 1, 1)).astype(np.float32))
+           for li, c in enumerate([64, 128, 256, 512, 512])}
+    vp, lp = tmp_path / 'vgg16.pth', tmp_path / 'lin.pth'
+    torch.save(vgg, vp)
+    torch.save(lin, lp)
+    out = tmp_path / 'w.npz'
+    convert_lpips.main(['--out', str(out), '--vgg16-pth', str(vp),
+                        '--lin-pth', str(lp)])
+    w = L.load_lpips_weights(str(out))
+    assert w['conv0_w'].shape == (3, 3, 3, 64)
+    assert w['lin4'].shape == (512,)
+    img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    assert L.lpips(img, 1.0 - img, weights=w) > 0.0

@@ -112,3 +112,28 @@ def test_mlp_weight_init_transforms():
     # output still flows
     out = mlp_mod.mlp_apply(params, cfg, jnp.ones((3, 8)))
     assert out.shape == (3, 4)
+
+
+def test_decay_schedules():
+    """Closed-form checks of every schedule shape (semantics of
+    wisp/utils/schedulers.py:4-29, vectorized in-house)."""
+    from shacira_tpu.core.schedulers import schedule, DecayScheduler
+    s = np.arange(0, 130, 10)
+    np.testing.assert_allclose(schedule('fix', s, 100, 3.0, 0.0), 3.0)
+    lin = schedule('linear', s, 100, 1.0, 0.0)
+    np.testing.assert_allclose(lin[:11], 1.0 - s[:11] / 100.0)
+    np.testing.assert_allclose(lin[11:], 0.0)          # held at end
+    cos = schedule('cosine', s[:11], 100, 1e-3, 1e-4)
+    assert cos[0] == 1e-3 and abs(cos[-1] - 1e-4) < 1e-12
+    assert np.all(np.diff(cos) < 0)
+    # exp: start * T^(s / (total * decay_period)), floored at end
+    ex = schedule('exp', s, 100, 1.0, 0.5, temperature=0.1, decay_period=0.6)
+    np.testing.assert_allclose(ex[6], max(0.5, 0.1 ** (60 / 60.0)))
+    np.testing.assert_allclose(ex[-1], 0.5)
+    inv = schedule('inv_sqrt', 100, 100, 2.0, 0.0)
+    np.testing.assert_allclose(inv, 2.0 * np.sqrt(0.5))
+    # wrapper matches the function pointwise
+    sched = DecayScheduler(100, 'exp', 1.0, 0.0,
+                           params={'temperature': 0.1, 'decay_period': 0.6})
+    np.testing.assert_allclose(sched(30), float(ex[3]) if ex[3] > 0.5
+                               else 0.1 ** 0.5, rtol=1e-12)
