@@ -65,6 +65,9 @@ def build_image_parser() -> argparse.ArgumentParser:
     # TPU-native spatially-paged hash layout (ops/paged_hash.py)
     g.add_argument('--hash-layout', type=str, default='xor',
                    choices=['xor', 'paged'])
+    g.add_argument('--page-res', type=int, default=16,
+                   help='paged layout: pages per axis (32 = faster kernels, '
+                        'needs finer LODs / shorter segments)')
     g.add_argument('--tree-type', type=str, default='geometric')
     g.add_argument('--min-grid-res', type=int, default=16)
     g.add_argument('--max-grid-res', type=int, default=512)
@@ -153,6 +156,7 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # --hash-layout paged on the grid
     g.add_argument('--eval-seg-budget', type=int, default=0)
     g.add_argument('--group-segs-per-block', type=int, default=8)
+    g.add_argument('--group-seg-size', type=int, default=0)
     g.add_argument('--fine-mode', type=str, default='exact',
                    choices=('exact', 'deferred'))
 
@@ -275,6 +279,7 @@ def build_grid_config(args, resolution_dim: int):
         codebook_bitwidth=args.codebook_bitwidth,
         init_grid=args.init_grid,
         hash_layout=getattr(args, 'hash_layout', 'xor'),
+        page_res=getattr(args, 'page_res', 16),
         num_prob_layers=args.num_prob_layers,
         noise_freq=args.noise_freq,
         entropy_enabled=args.ldecode_enabled and (
@@ -382,4 +387,6 @@ def build_tracer_config(args):
         seg_dilation=args.seg_dilation,
         eval_seg_budget=args.eval_seg_budget,
         group_segs_per_block=args.group_segs_per_block,
-        fine_mode=args.fine_mode)
+        fine_mode=args.fine_mode,
+        group_seg_size=getattr(args, 'group_seg_size', 0),
+        group_res=getattr(args, 'page_res', 16) // 2)

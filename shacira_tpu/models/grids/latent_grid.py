@@ -63,6 +63,10 @@ class LatentGridConfig:
     noise_freq: int = 1
     entropy_enabled: bool = False
     hash_layout: str = 'xor'              # 'xor' | 'paged' (ops/paged_hash.py)
+    page_res: int = 16                    # paged layout: pages per axis (16
+                                          # general; 32 = 4x less MXU work
+                                          # per corner but needs finer LODs
+                                          # and shorter segments)
 
     @property
     def effective_latent_dim(self) -> int:
@@ -71,7 +75,8 @@ class LatentGridConfig:
     @property
     def spec(self) -> HashGridSpec:
         return HashGridSpec(self.resolutions, self.codebook_bitwidth,
-                            self.resolution_dim, hash_layout=self.hash_layout)
+                            self.resolution_dim, hash_layout=self.hash_layout,
+                            page_res=self.page_res)
 
     @property
     def num_lods(self) -> int:

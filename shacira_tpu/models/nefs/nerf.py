@@ -201,18 +201,17 @@ def nerf_density(params, cfg: NeuralRadianceFieldConfig, coords, **kw):
 
 
 @functools.lru_cache(maxsize=None)
-def _prune_block_layout(res: int):
+def _prune_block_layout(res: int, g8: int = 8):
     """Static slot layout routing the prune density query through the paged
     kernels with NO runtime grouping: occupancy cells are enumerated in
-    grouping-cell-major order (the 2**level grid tiles the 8^3 grouping
-    cells exactly), so every kernel block's rows lie in one grouping cell
-    by construction — the 'grouping' is a compile-time constant.
+    grouping-cell-major order (the 2**level grid tiles the g8^3 grouping
+    cells exactly, g8 = grid page_res // 2), so every kernel block's rows
+    lie in one grouping cell by construction — the 'grouping' is a
+    compile-time constant.
 
     Returns (idx3 [N, 3] cell indices in grouped order, block_cell [nb],
     inv [N] with density_raster = density_grouped[inv])."""
     import numpy as np
-    from shacira_tpu.ops import paged_hash as ph
-    g8 = ph.GROUP_RES
     assert res % g8 == 0, res
     w = res // g8
     b = 1
@@ -238,7 +237,8 @@ def _prune_density_paged(params, cfg: NeuralRadianceFieldConfig, rng):
     paged kernels (~10x the flat gather path at 2M cells) — raster order."""
     from shacira_tpu.ops import paged_hash as ph
     res = cfg.occ_cfg.res
-    idx3, block_cell, inv = _prune_block_layout(res)
+    gr = ph.group_res_of(cfg.grid.spec.page_res)
+    idx3, block_cell, inv = _prune_block_layout(res, gr)
     n = res ** 3
     u = jax.random.uniform(rng, (n, 3))
     pts = ((jnp.asarray(idx3) + u) / res) * 2.0 - 1.0
@@ -246,7 +246,7 @@ def _prune_density_paged(params, cfg: NeuralRadianceFieldConfig, rng):
     static = ph.default_static(cfg.grid.spec, include_direct=True)
     zbar = ph.paged_interp_lods(
         pts, jnp.ones((n,), bool), jnp.asarray(block_cell),
-        jnp.ones((ph.N_CELLS,), bool), parts[0], static)
+        jnp.ones((gr ** 3,), bool), parts[0], static)
     feats = lg.paged_finish(params['grid'], cfg.grid, zbar, pts,
                             affine=parts)
     _, density = nerf_head(params, cfg, feats, jnp.zeros_like(pts))
@@ -256,10 +256,11 @@ def _prune_density_paged(params, cfg: NeuralRadianceFieldConfig, rng):
 def _can_prune_paged(cfg: NeuralRadianceFieldConfig) -> bool:
     from shacira_tpu.ops import paged_hash as ph
     res = cfg.occ_cfg.res
+    gr = ph.group_res_of(cfg.grid.spec.page_res)
     return (cfg.grid.spec.hash_layout == 'paged'
             and lg.supports_affine_fusion(cfg.grid)
-            and res % ph.GROUP_RES == 0
-            and res // ph.GROUP_RES >= 4)
+            and res % gr == 0
+            and res // gr >= 4)
 
 
 def prune(params, cfg: NeuralRadianceFieldConfig, occ_state, rng):

@@ -35,20 +35,40 @@ import numpy as np
 PRIMES = (1, 2654435761, 805459861)
 
 # Coarse spatial bins per axis for the 'paged' hash layout (see
-# HashGridSpec.hash_layout).  P = PAGE_RES**dim pages; entries per page
-# E = codebook_size / P.
+# HashGridSpec.hash_layout).  P = page_res**dim pages; entries per page
+# E = codebook_size / P.  16 is the default; 32 quarters the per-corner MXU
+# work of the paged kernels (entries-per-page shrinks 8x and the contraction
+# swaps to the 64-slot neighborhood axis) but requires finer LODs
+# (res >= 2*page_res) and shorter segments — lego-style ray configs use it,
+# voxel/V8 configs keep 16 (see ops/paged_hash.validate_paged_cover).
 PAGE_RES = 16
 
+# Entries-per-page below this get a bit-folding finalizer before the mask:
+# with few entries the bare XOR-prime hash masks to its low bits only
+# (PRIMES are all == 1 mod 4, so a 2-bit mask degenerates to c0^c1^c2),
+# which measurably skews collisions; folding the high bytes down restores
+# the global hash's distribution (tests/test_paged_hash.py).
+SMALL_PAGE_ENTRIES = 32
 
-def paged_params(res: int, codebook_size: int, dim: int):
+
+def fold_hash(acc, e: int):
+    """Mask an XOR-prime hash accumulator to ``e`` entries, folding high
+    bits down first when the page is small.  ``acc`` is uint32 (host) or a
+    uint32 array (in-kernel) — both use this exact formula."""
+    if e < SMALL_PAGE_ENTRIES:
+        acc = acc ^ (acc >> 8) ^ (acc >> 16) ^ (acc >> 24)
+    return acc & (e - 1)
+
+
+def paged_params(res: int, codebook_size: int, dim: int,
+                 page_res: int = PAGE_RES):
     """(num_pages, entries_per_page) for a paged hashed LOD, or None when the
     LOD cannot be paged (direct-indexed, table not divisible by P, or fewer
-    than 32 entries per page — tiny pages measurably skew the collision
-    distribution vs the global XOR hash, see tests/test_paged_hash.py)."""
+    than 4 entries per page)."""
     if use_direct_index(res, codebook_size, dim):
         return None
-    p = PAGE_RES ** dim
-    if codebook_size % p or codebook_size < 32 * p:
+    p = page_res ** dim
+    if codebook_size % p or codebook_size < 4 * p:
         return None
     return p, codebook_size // p
 
@@ -100,6 +120,7 @@ class HashGridSpec:
     codebook_bitwidth: int
     dim: int
     hash_layout: str = 'xor'
+    page_res: int = PAGE_RES      # 'paged' layout: pages per axis
 
     @property
     def codebook_size(self) -> int:
@@ -229,27 +250,27 @@ def _lod_corner_indices_and_weights(coords, res: int, spec: HashGridSpec):
         for d in range(1, dim):
             acc = acc ^ (u[..., d] * jnp.uint32(PRIMES[d]))
         paged = (spec.hash_layout == 'paged'
-                 and paged_params(res, cs, dim) is not None)
+                 and paged_params(res, cs, dim, spec.page_res) is not None)
         if paged:
-            _, e = paged_params(res, cs, dim)
-            page = _page_of_cell(cpos, res, dim)
-            idx = (page * e + (acc & jnp.uint32(e - 1)).astype(jnp.int32))
+            _, e = paged_params(res, cs, dim, spec.page_res)
+            page = _page_of_cell(cpos, res, dim, spec.page_res)
+            idx = page * e + fold_hash(acc, e).astype(jnp.int32)
         else:
             # table size is a power of two, so % == bitmask (cu:36).
             idx = (acc & jnp.uint32(cs - 1)).astype(jnp.int32)
     return idx, w
 
 
-def _page_of_cell(cpos, res: int, dim: int):
+def _page_of_cell(cpos, res: int, dim: int, page_res: int = PAGE_RES):
     """Coarse page id of integer cell coords (x-major linearization).
 
-    ``page_axis = (cell * PAGE_RES) // res`` — exact integer arithmetic, so
+    ``page_axis = (cell * page_res) // res`` — exact integer arithmetic, so
     the kernel-side page math (ops/paged_hash.py) reproduces it bit-exactly.
     """
-    pax = (cpos * PAGE_RES) // res                    # [..., dim]
+    pax = (cpos * page_res) // res                    # [..., dim]
     page = pax[..., 0]
     for d in range(1, dim):
-        page = page * PAGE_RES + pax[..., d]
+        page = page * page_res + pax[..., d]
     return page
 
 

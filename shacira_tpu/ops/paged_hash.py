@@ -44,12 +44,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from shacira_tpu.ops.hashgrid import (
-    HashGridSpec, PAGE_RES, PRIMES, paged_params, use_direct_index)
+    HashGridSpec, PAGE_RES, PRIMES, SMALL_PAGE_ENTRIES, paged_params,
+    use_direct_index)
 
-GROUP_RES = 8            # grouping cells per axis (= PAGE_RES // 2)
-NEIGH = 4                # pages per axis in a block's neighborhood
+# Geometry is derived from the spec's page_res (see HashGridSpec.page_res):
+#   group_res = page_res // 2   (grouping cells per axis; 2 pages per cell)
+#   NEIGH = 4                   (pages per axis in a block's neighborhood:
+#                                the cell's 2 plus a 1-page margin each side)
+# The module-level constants below are the page_res=16 defaults, kept for
+# callers that never touch a non-default geometry.
+GROUP_RES = 8
+NEIGH = 4
 N_CELLS = GROUP_RES ** 3
 N_NEIGH = NEIGH ** 3     # 64
+
+
+def group_res_of(page_res: int) -> int:
+    return page_res // 2
+
+
+def n_cells_of(page_res: int) -> int:
+    return group_res_of(page_res) ** 3
 
 
 DIRECT_MARGIN = 1.0 / 32.0  # static seg-cover slack for direct-LOD slabs
@@ -60,11 +75,12 @@ DIRECT_MARGIN = 1.0 / 32.0  # static seg-cover slack for direct-LOD slabs
 def lod_is_paged(res: int, spec: HashGridSpec) -> bool:
     """True when a LOD uses the paged fast path: hashed, divisible table,
     and fine enough that a grouping cell's 4^3 page neighborhood provably
-    covers every corner (requires res >= 2 * PAGE_RES; see cover analysis
-    in validate_paged_cover)."""
+    covers every corner (requires res >= 2 * spec.page_res; see cover
+    analysis in validate_paged_cover)."""
     return (spec.dim == 3 and spec.hash_layout == 'paged'
-            and paged_params(res, spec.codebook_size, spec.dim) is not None
-            and res >= 2 * PAGE_RES)
+            and paged_params(res, spec.codebook_size, spec.dim,
+                             spec.page_res) is not None
+            and res >= 2 * spec.page_res)
 
 
 def paged_lods(spec: HashGridSpec):
@@ -94,18 +110,20 @@ def validate_paged_cover(spec: HashGridSpec, seg_half01: float):
     4^3 neighborhood of the sample's grouping cell.
 
     With x01 the segment center, samples within seg_half01, cell
-    c = floor(x01*res) and page p = (c*16)//res, the corner pages span
-    [2*c8-1, 2*c8+2] (c8 = floor(center*8)) iff
-    ``16*seg_half01 + 16/res < 1`` (see module docstring analysis).
+    c = floor(x01*res) and page p = (c*P)//res (P = spec.page_res), the
+    corner pages span [2*cg-1, 2*cg+2] (cg = floor(center*(P/2))) iff
+    ``P*seg_half01 + P/res < 1`` (see module docstring analysis).
     """
+    p = spec.page_res
     for res in spec.resolutions:
         if lod_is_paged(res, spec):
-            margin = 2 * PAGE_RES * seg_half01 + PAGE_RES / res
+            margin = 2 * p * seg_half01 + p / res
             if margin >= 1.0:
                 raise ValueError(
                     f'paged cover violated at res {res}: '
-                    f'2*PAGE_RES*seg_half + PAGE_RES/res = {margin:.3f} >= 1; '
-                    f'shorten segments or disable hash_layout=paged')
+                    f'2*page_res*seg_half + page_res/res = {margin:.3f} >= 1; '
+                    f'shorten segments, lower page_res, or disable '
+                    f'hash_layout=paged')
     if seg_half01 > DIRECT_MARGIN:
         raise ValueError(
             f'segment half-length {seg_half01:.4f} (01 coords) exceeds the '
@@ -117,38 +135,42 @@ def validate_paged_cover(spec: HashGridSpec, seg_half01: float):
 # Direct-LOD slabs: dense per-grouping-cell subboxes
 # ---------------------------------------------------------------------------
 
-def direct_slab_width(res: int, margin: float = DIRECT_MARGIN) -> int:
+def direct_slab_width(res: int, margin: float = DIRECT_MARGIN,
+                      group_res: int = GROUP_RES) -> int:
     """Cells per axis of a grouping cell's subbox window at a direct LOD:
     covers every corner cell of any sample within ``margin`` of the cell
-    (span (1/8 + 2*margin)*res, +1 for the floor straddle, +1 corner)."""
-    return min(int(np.ceil(res * (1.0 / GROUP_RES + 2.0 * margin))) + 2, res)
+    (span (1/group_res + 2*margin)*res, +1 for the floor straddle,
+    +1 corner)."""
+    return min(int(np.ceil(res * (1.0 / group_res + 2.0 * margin))) + 2, res)
 
 
 @functools.lru_cache(maxsize=None)
-def _slab_starts_np(res: int, margin: float = DIRECT_MARGIN):
-    """([GROUP_RES] int32 window starts per axis, width) for a direct LOD.
+def _slab_starts_np(res: int, margin: float = DIRECT_MARGIN,
+                    group_res: int = GROUP_RES):
+    """([group_res] int32 window starts per axis, width) for a direct LOD.
     start[c] <= any corner cell of cell c's samples < start[c] + w."""
-    w = direct_slab_width(res, margin)
-    c = np.arange(GROUP_RES)
-    lo = np.floor((c / GROUP_RES - margin) * res).astype(np.int64)
+    w = direct_slab_width(res, margin, group_res)
+    c = np.arange(group_res)
+    lo = np.floor((c / group_res - margin) * res).astype(np.int64)
     return np.clip(lo, 0, res - w).astype(np.int32), w
 
 
-def _slab_tables(table, res: int, ld: int, margin: float):
+def _slab_tables(table, res: int, ld: int, margin: float,
+                 group_res: int = GROUP_RES):
     """Dense direct-LOD table [res**3, ld] -> per-grouping-cell subbox slabs
-    [N_CELLS + 1, w*w, ld*w] in kernel layout (row = ly*w + lz,
-    col = d*w + lx; pad cell = zeros).  Three axis-gathers of 8*w static
-    rows each — no per-sample gathers."""
-    starts, w = _slab_starts_np(res, margin)
-    ix = jnp.asarray(starts[:, None] + np.arange(w)[None, :])   # [8, w]
-    g8 = GROUP_RES
+    [n_cells + 1, w*w, ld*w] in kernel layout (row = ly*w + lz,
+    col = d*w + lx; pad cell = zeros).  Three axis-gathers of group_res*w
+    static rows each — no per-sample gathers."""
+    starts, w = _slab_starts_np(res, margin, group_res)
+    ix = jnp.asarray(starts[:, None] + np.arange(w)[None, :])   # [g, w]
+    g8 = group_res
     t = table.reshape(res, res, res, ld)                        # [z, y, x, ld]
     t = jnp.take(t, ix.reshape(-1), axis=0).reshape(g8, w, res, res, ld)
     t = jnp.take(t, ix.reshape(-1), axis=2).reshape(g8, w, g8, w, res, ld)
     t = jnp.take(t, ix.reshape(-1), axis=4).reshape(g8, w, g8, w, g8, w, ld)
     # [cz, lz, cy, ly, cx, lx, ld] -> [cx, cy, cz, ly, lz, ld, lx]
     t = t.transpose(4, 2, 0, 3, 1, 6, 5)
-    t = t.reshape(N_CELLS, w * w, ld * w)
+    t = t.reshape(g8 ** 3, w * w, ld * w)
     return jnp.concatenate(
         [t, jnp.zeros((1, w * w, ld * w), t.dtype)], axis=0)
 
@@ -160,13 +182,14 @@ def _fold_window_axis(x, ixf, res: int):
     return jnp.zeros((res,) + rest, x.dtype).at[ixf].add(x)
 
 
-def _slab_grad_to_table(gslab, res: int, ld: int, margin: float):
-    """[N_CELLS + 1, w*w, ld*w] slab grads -> dense table grad [res**3, ld]
+def _slab_grad_to_table(gslab, res: int, ld: int, margin: float,
+                        group_res: int = GROUP_RES):
+    """[n_cells + 1, w*w, ld*w] slab grads -> dense table grad [res**3, ld]
     (axis-separable overlap-add; exact f32)."""
-    starts, w = _slab_starts_np(res, margin)
+    starts, w = _slab_starts_np(res, margin, group_res)
     ixf = jnp.asarray((starts[:, None] + np.arange(w)[None, :]).reshape(-1))
-    g8 = GROUP_RES
-    g = gslab[:N_CELLS].reshape(g8, g8, g8, w, w, ld, w)
+    g8 = group_res
+    g = gslab[:g8 ** 3].reshape(g8, g8, g8, w, w, ld, w)
     # [cx, cy, cz, ly, lz, ld, lx] -> fold x, then y, then z
     g = g.transpose(0, 6, 1, 2, 3, 4, 5).reshape(g8 * w, g8, g8, w, w, ld)
     g = _fold_window_axis(g, ixf, res)          # [x, cy, cz, ly, lz, ld]
@@ -217,12 +240,14 @@ def _kernel_corner_pos_w(pos, frac):
     return cp, wgt
 
 
-def _kernel_paged_corners(coords3, c3, res: int, e: int):
+def _kernel_paged_corners(coords3, c3, res: int, e: int,
+                          page_res: int = PAGE_RES):
     """In-kernel entry/psel/w at one paged LOD ([C, B] each).
 
-    Reproduces _cell_and_frac + the XOR-prime entry hash + the page-relative
+    Reproduces _cell_and_frac + the XOR-prime entry hash (incl. the
+    small-page bit folding, hashgrid.fold_hash) + the page-relative
     4^3 neighborhood select (psel) of the host reference exactly.  The
-    ``(cpos * PAGE_RES) // res`` page index is computed as an f32 floor-div
+    ``(cpos * page_res) // res`` page index is computed as an f32 floor-div
     with the numerator nudged by +0.5: exact quotients sit 0.5/res above an
     integer and non-multiples stay >= 0.5/res below the next one, so the
     floor is robust even when the divide lowers to a reciprocal multiply
@@ -233,28 +258,44 @@ def _kernel_paged_corners(coords3, c3, res: int, e: int):
     acc = cp[0].astype(jnp.uint32) * jnp.uint32(PRIMES[0])
     for d in range(1, 3):
         acc = acc ^ (cp[d].astype(jnp.uint32) * jnp.uint32(PRIMES[d]))
+    if e < SMALL_PAGE_ENTRIES:           # mirror hashgrid.fold_hash
+        acc = acc ^ (acc >> jnp.uint32(8)) ^ (acc >> jnp.uint32(16)) \
+            ^ (acc >> jnp.uint32(24))
     ent = (acc & jnp.uint32(e - 1)).astype(jnp.int32)
     psel = None
     for d in range(3):
-        pax = jnp.floor((cp[d].astype(jnp.float32) * jnp.float32(PAGE_RES)
+        pax = jnp.floor((cp[d].astype(jnp.float32) * jnp.float32(page_res)
                          + 0.5) / jnp.float32(res))
         ps = jnp.clip(pax.astype(jnp.int32) - (2 * c3[d] - 1), 0, NEIGH - 1)
         psel = ps if psel is None else psel * NEIGH + ps
     return ent, psel, wgt
 
 
-def _kernel_direct_corners(coords3, c3, res: int, starts, w: int):
+def _kernel_direct_corners(coords3, c3, res: int, starts, w: int,
+                           g: int = GROUP_RES, margin: float = DIRECT_MARGIN):
     """In-kernel slab-local entry (= ly*w + lz) / psel (= lx) / weights at
-    one direct LOD.  ``starts`` is the static per-grouping-cell window-start
-    table (host _slab_starts_np); the per-block start is selected with 8
-    scalar compares per axis."""
+    one direct LOD.
+
+    The per-block window start reproduces the host table
+    (_slab_starts_np) with exact integer arithmetic when margin is a
+    multiple of 1/32 (the default): ``floor((c/g - margin)*res) =
+    floor((c*(32/g) - 32*margin)*res / 32)`` — 3 scalar int ops per axis
+    instead of a ``group_res``-way select cascade (the cascade measurably
+    serializes the kernel on the scalar core at group_res 16).  ``starts``
+    stays as the fallback for non-dyadic margins."""
     pos, frac = _kernel_pos_frac(coords3, res)
     cp, wgt = _kernel_corner_pos_w(pos, frac)
+    m32 = margin * 32
+    int_path = (32 % g == 0 and abs(m32 - round(m32)) < 1e-9)
     local = []
     for d in range(3):
-        st = jnp.int32(starts[0])
-        for cv in range(1, GROUP_RES):
-            st = jnp.where(c3[d] == cv, jnp.int32(starts[cv]), st)
+        if int_path:
+            st = ((c3[d] * (32 // g) - int(round(m32))) * res) // 32
+            st = jnp.clip(st, 0, res - w)
+        else:
+            st = jnp.int32(starts[0])
+            for cv in range(1, len(starts)):
+                st = jnp.where(c3[d] == cv, jnp.int32(starts[cv]), st)
         local.append(jnp.clip(cp[d] - st, 0, w - 1))
     return local[1] * w + local[2], local[0], wgt
 
@@ -264,58 +305,61 @@ def _kernel_direct_corners(coords3, c3, res: int, starts, w: int):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _neighbor_pages_np(dim: int = 3):
-    """Static [N_CELLS, N_NEIGH] map: grouping cell -> global page ids of its
+def _neighbor_pages_np(dim: int = 3, page_res: int = PAGE_RES):
+    """Static [n_cells, N_NEIGH] map: grouping cell -> global page ids of its
     4^3 page neighborhood (pages 2*c-1 .. 2*c+2 per axis, clamped)."""
-    cells = np.arange(N_CELLS)
-    cx, cy, cz = cells // 64, (cells // 8) % 8, cells % 8
-    out = np.zeros((N_CELLS, N_NEIGH), np.int32)
+    g = group_res_of(page_res)
+    cells = np.arange(g ** 3)
+    cx, cy, cz = cells // (g * g), (cells // g) % g, cells % g
+    out = np.zeros((g ** 3, N_NEIGH), np.int32)
     for i in range(NEIGH):
         for j in range(NEIGH):
             for k in range(NEIGH):
-                px = np.clip(2 * cx - 1 + i, 0, PAGE_RES - 1)
-                py = np.clip(2 * cy - 1 + j, 0, PAGE_RES - 1)
-                pz = np.clip(2 * cz - 1 + k, 0, PAGE_RES - 1)
+                px = np.clip(2 * cx - 1 + i, 0, page_res - 1)
+                py = np.clip(2 * cy - 1 + j, 0, page_res - 1)
+                pz = np.clip(2 * cz - 1 + k, 0, page_res - 1)
                 out[:, (i * NEIGH + j) * NEIGH + k] = (
-                    px * PAGE_RES * PAGE_RES + py * PAGE_RES + pz)
+                    px * page_res * page_res + py * page_res + pz)
     return out
 
 
-def group_segments(centers01, live, segs_per_block: int, n_blocks: int):
+def group_segments(centers01, live, segs_per_block: int, n_blocks: int,
+                   group_res: int = GROUP_RES):
     """Group live segments into blocks that share a grouping cell.
 
     Args:
         centers01: [K, 3] segment centers in [0, 1].
         live: [K] bool.
         segs_per_block: segments per kernel block (block rows B = this * G).
-        n_blocks: static block capacity; needs ceil(K/spb) + N_CELLS to never
-            overflow.
+        n_blocks: static block capacity; needs ceil(K/spb) + n_cells to never
+            overflow (n_cells = group_res**3).
     Returns dict:
         slotseg_to_seg: [n_blocks*spb] int32 source segment per slot
             (K = padding sentinel).
         seg_to_slotseg: [K] int32 slot of each segment (dead -> n_slotseg).
-        block_cell: [n_blocks] int32 grouping cell per block (N_CELLS for
+        block_cell: [n_blocks] int32 grouping cell per block (n_cells for
             pad blocks).
-        cell_used: [N_CELLS] bool.
+        cell_used: [n_cells] bool.
     """
     k = centers01.shape[0]
     spb = segs_per_block
+    n_cells = group_res ** 3
     n_slotseg = n_blocks * spb
-    c = jnp.clip(jnp.floor(centers01 * GROUP_RES), 0, GROUP_RES - 1)
+    c = jnp.clip(jnp.floor(centers01 * group_res), 0, group_res - 1)
     c = c.astype(jnp.int32)
-    cell = (c[:, 0] * GROUP_RES + c[:, 1]) * GROUP_RES + c[:, 2]
-    key = jnp.where(live, cell, N_CELLS)
+    cell = (c[:, 0] * group_res + c[:, 1]) * group_res + c[:, 2]
+    key = jnp.where(live, cell, n_cells)
     skey, seg_order = jax.lax.sort_key_val(key, jnp.arange(k, dtype=jnp.int32))
 
-    counts = jnp.zeros((N_CELLS + 1,), jnp.int32).at[key].add(1)
-    blocks_per_cell = -(-counts[:N_CELLS] // spb)
+    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[key].add(1)
+    blocks_per_cell = -(-counts[:n_cells] // spb)
     cum_blocks = jnp.cumsum(blocks_per_cell) - blocks_per_cell   # exclusive
-    slot_base = cum_blocks * spb                                  # [N_CELLS]
+    slot_base = cum_blocks * spb                                  # [n_cells]
     cum_counts = jnp.cumsum(counts) - counts                      # exclusive
     # rank of sorted segment within its cell
     rank = jnp.arange(k, dtype=jnp.int32) - cum_counts[skey]
-    slot = jnp.where(skey < N_CELLS,
-                     slot_base[jnp.minimum(skey, N_CELLS - 1)] + rank,
+    slot = jnp.where(skey < n_cells,
+                     slot_base[jnp.minimum(skey, n_cells - 1)] + rank,
                      n_slotseg)
     slotseg_to_seg = jnp.full((n_slotseg,), k, jnp.int32)
     slotseg_to_seg = slotseg_to_seg.at[slot].set(seg_order, mode='drop')
@@ -323,15 +367,15 @@ def group_segments(centers01, live, segs_per_block: int, n_blocks: int):
     seg_to_slotseg = seg_to_slotseg.at[seg_order].set(
         jnp.where(slot < n_slotseg, slot, n_slotseg), mode='drop')
 
-    # cell of each block: from the cell of any segment in it, pad -> N_CELLS
+    # cell of each block: from the cell of any segment in it, pad -> n_cells
     first_seg = slotseg_to_seg[::spb]                             # [n_blocks]
     has_seg = first_seg < k
     bcell = jnp.where(
-        has_seg, key[jnp.minimum(first_seg, k - 1)], N_CELLS)
+        has_seg, key[jnp.minimum(first_seg, k - 1)], n_cells)
     return {'slotseg_to_seg': slotseg_to_seg,
             'seg_to_slotseg': seg_to_slotseg,
             'block_cell': bcell.astype(jnp.int32),
-            'cell_used': counts[:N_CELLS] > 0}
+            'cell_used': counts[:n_cells] > 0}
 
 
 def permute_rows(x, perm, inv_perm, out_len: int):
@@ -378,41 +422,77 @@ def _dot_precision(dtype):
             else jax.lax.Precision.HIGHEST)
 
 
-def _lod_gather(ent, psel, wgt, tab, E, NP, C, B, LD, dtype):
-    """One LOD's block encode: fused [E, C*B] one-hot entry contraction on
-    the MXU, then a [NP, C*B] one-hot page/line select and corner sum.
+def _lod_gather(ent, psel, wgt, tab, E, NP, C, B, LD, dtype,
+                swap: bool = False):
+    """One LOD's block encode.
+
+    Two MXU orders (same math, different contraction axis):
+      * swap=False (large E): [E, C*B] one-hot entry contraction on the MXU
+        ([LD*NP, cb] result), then a [NP, C*B] one-hot page/line select and
+        corner sum on the VPU.  Optimal when E ~ 128 (full contraction).
+      * swap=True (small E, page_res 32: E = cs/32768): contract the
+        NP(=64)-slot axis on the MXU ([LD*E, cb] result — 4-8x fewer
+        streamed rows when E < NP), then select entries with the [E, C*B]
+        one-hot on the VPU.  With K=E the un-swapped contraction would
+        leave 7/8 of the MXU idle.
 
     ent/psel/wgt: [C, B] refs' loaded blocks; tab: [E, LD*NP] resident
-    window (page neighborhood or dense slab).  Returns [LD, B] f32.
+    window (swap=False) or [LD*E, NP] (swap=True); page neighborhood or
+    dense slab.  Returns [LD, B] f32.
     """
     cb = C * B
     ent = ent.reshape(cb)                                 # corner-major
     psel = psel.reshape(cb)
     wgt = wgt.reshape(cb)
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, cb), 0)
-    a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
-    g = jax.lax.dot_general(tab.astype(dtype), a, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_dot_precision(dtype))  # [LD*NP, cb]
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
-    m = (psel[None, :] == p_iota).astype(jnp.float32)     # [NP, C*B]
     accs = []
-    for d in range(LD):
-        sel = jnp.sum(g[d * NP:(d + 1) * NP, :] * m, axis=0)
-        accs.append(jnp.sum((wgt * sel).reshape(C, B), axis=0))
+    if swap:
+        m = (psel[None, :] == p_iota).astype(dtype)       # [NP, C*B]
+        g = jax.lax.dot_general(tab.astype(dtype), m,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_dot_precision(dtype))  # [LD*E, cb]
+        a = (ent[None, :] == e_iota).astype(jnp.float32)  # [E, C*B]
+        for d in range(LD):
+            sel = jnp.sum(g[d * E:(d + 1) * E, :] * a, axis=0)
+            accs.append(jnp.sum((wgt * sel).reshape(C, B), axis=0))
+    else:
+        a = (ent[None, :] == e_iota).astype(dtype)        # [E, C*B]
+        g = jax.lax.dot_general(tab.astype(dtype), a,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_dot_precision(dtype))  # [LD*NP, cb]
+        m = (psel[None, :] == p_iota).astype(jnp.float32)  # [NP, C*B]
+        for d in range(LD):
+            sel = jnp.sum(g[d * NP:(d + 1) * NP, :] * m, axis=0)
+            accs.append(jnp.sum((wgt * sel).reshape(C, B), axis=0))
     return jnp.stack(accs)                                # [LD, B]
 
 
-def _lod_scatter(ent, psel, wgt, gl, E, NP, C, B, LD, dtype):
-    """One LOD's block backward: [E, C*B] x [C*B, LD*NP] MXU contraction.
-    gl: [LD, B] output grad.  Returns the window grad [E, LD*NP] f32."""
+def _lod_scatter(ent, psel, wgt, gl, E, NP, C, B, LD, dtype,
+                 swap: bool = False):
+    """One LOD's block backward; MXU contraction over C*B either way.
+    gl: [LD, B] output grad.  Returns the window grad — [E, LD*NP] f32
+    (swap=False) or [LD*E, NP] (swap=True), matching the fwd layouts."""
     cb = C * B
     ent = ent.reshape(cb)
     psel = psel.reshape(cb)
     wgt = wgt.reshape(cb)
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, cb), 0)
-    a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
+    if swap:
+        m = (psel[None, :] == p_iota).astype(dtype)       # [NP, C*B]
+        a = (ent[None, :] == e_iota).astype(jnp.float32)  # [E, C*B]
+        rows = []
+        for d in range(LD):
+            gd = (jnp.broadcast_to(gl[d][None, :], (C, B)).reshape(cb) * wgt)
+            rows.append(a * gd[None, :])                  # [E, C*B]
+        dg = jnp.concatenate(rows, axis=0).astype(dtype)  # [LD*E, C*B]
+        return jax.lax.dot_general(dg, m, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_dot_precision(dtype))
+    a = (ent[None, :] == e_iota).astype(dtype)            # [E, C*B]
     m = (psel[None, :] == p_iota).astype(jnp.float32)     # [NP, C*B]
     rows = []
     for d in range(LD):
@@ -424,17 +504,16 @@ def _lod_scatter(ent, psel, wgt, gl, E, NP, C, B, LD, dtype):
                                precision=_dot_precision(dtype))
 
 
-def _kernel_block_cell3(bc):
+def _kernel_block_cell3(bc, g: int = GROUP_RES):
     """Grouping-cell coordinates (3 scalars) of the block's cell id; pad
-    blocks (cell == N_CELLS) clamp to any valid cell — their rows are
+    blocks (cell == n_cells) clamp to any valid cell — their rows are
     masked by the caller."""
-    bc = jnp.minimum(bc, N_CELLS - 1)
-    return (bc // (GROUP_RES * GROUP_RES), (bc // GROUP_RES) % GROUP_RES,
-            bc % GROUP_RES)
+    bc = jnp.minimum(bc, g ** 3 - 1)
+    return bc // (g * g), (bc // g) % g, bc % g
 
 
 def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
-                   C, B, E, LD, dtype):
+                   C, B, E, LD, dtype, GR, PR, SWAP, MARGIN):
     """All block-local LODs (direct slabs + paged neighborhoods) in one grid
     pass — amortizes per-step overhead and window streaming over the whole
     LOD stack.  Corner data (entry/psel/weights) is computed in-kernel from
@@ -450,8 +529,8 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
     out_ref = next(it)
     i = pl.program_id(0)
     bc = bc_ref[i]
-    is_pad = bc == N_CELLS          # grouping put pad blocks last
-    c3 = _kernel_block_cell3(bc)
+    is_pad = bc == GR ** 3          # grouping put pad blocks last
+    c3 = _kernel_block_cell3(bc, GR)
     # blocks wider than 128 rows process 128-lane halves (Mosaic cannot
     # shape-cast [C, 256] -> [C*256]); one grid step amortizes the window
     # fetch and per-step overhead over all halves
@@ -470,21 +549,23 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
             li = 0
             for di, w in enumerate(WS):
                 ent, psel, wgt = _kernel_direct_corners(
-                    coords3, c3, RES_D[di], STARTS_D[di], w)
+                    coords3, c3, RES_D[di], STARTS_D[di], w, GR, MARGIN)
                 out_ref[0, li, :, sl] = _lod_gather(
                     ent, psel, wgt, slabs[di][0],
                     E=w * w, NP=w, C=C, B=hb, LD=LD, dtype=dtype)
                 li += 1
             for pi, res in enumerate(RES_P):
-                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E)
+                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E,
+                                                       PR)
                 out_ref[0, li, :, sl] = _lod_gather(
                     ent, psel, wgt, neigh[0, pi],
-                    E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype)
+                    E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype,
+                    swap=SWAP)
                 li += 1
 
 
 def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
-                    RES_P, C, B, E, LD, dtype):
+                    RES_P, C, B, E, LD, dtype, GR, PR, SWAP, MARGIN):
     """Backward of :func:`_gather_kernel`: per-grouping-cell window partials
     for every LOD, accumulated across consecutive same-cell blocks.  The
     incoming grad g_ref [1, L, LD, B] must already be masked by slot
@@ -493,7 +574,7 @@ def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
     bc = bc_ref[i]
     prev = bc_ref[jnp.maximum(i - 1, 0)]
     first = (i == 0) | (bc != prev)
-    c3 = _kernel_block_cell3(bc)
+    c3 = _kernel_block_cell3(bc, GR)
     hb = min(B, 128)                 # 128-lane halves (see _gather_kernel)
 
     @pl.when(first)
@@ -502,7 +583,7 @@ def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
             o[:] = jnp.zeros_like(o)
 
     # pad blocks (sorted last by grouping) only zero their dropped window
-    @pl.when(bc != N_CELLS)
+    @pl.when(bc != GR ** 3)
     def _():
         for h in range(B // hb):
             coords3 = tuple(coords_ref[0, d, h * hb:(h + 1) * hb]
@@ -511,68 +592,84 @@ def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
             li = 0
             for di, w in enumerate(WS):
                 ent, psel, wgt = _kernel_direct_corners(
-                    coords3, c3, RES_D[di], STARTS_D[di], w)
+                    coords3, c3, RES_D[di], STARTS_D[di], w, GR, MARGIN)
                 outs[di][0] += _lod_scatter(
                     ent, psel, wgt, g_ref[0, li, :, sl],
                     E=w * w, NP=w, C=C, B=hb, LD=LD, dtype=dtype)
                 li += 1
             for pi, res in enumerate(RES_P):
-                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E)
+                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E,
+                                                       PR)
                 outs[len(WS)][0, pi] += _lod_scatter(
                     ent, psel, wgt, g_ref[0, li, :, sl],
-                    E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype)
+                    E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype,
+                    swap=SWAP)
                 li += 1
 
 
-def _neigh_table(table, e: int, ld: int):
-    """[cs, ld] table -> [N_CELLS+1, E, LD*64] per-grouping-cell page
-    neighborhoods in kernel column layout (col = l*64 + neighbor_slot)."""
+def _neigh_table(table, e: int, ld: int, page_res: int = PAGE_RES,
+                 swap: bool = False):
+    """[cs, ld] table -> per-grouping-cell page neighborhoods in kernel
+    layout: [n_cells+1, E, LD*64] (col = l*64 + slot; swap=False) or
+    [n_cells+1, LD*E, 64] (row = l*E + entry; swap=True)."""
+    nc = n_cells_of(page_res)
     p = table.shape[0] // e
     pages = table.reshape(p, e * ld)
-    ncell = jnp.asarray(_neighbor_pages_np())             # [512, 64]
+    ncell = jnp.asarray(_neighbor_pages_np(3, page_res))  # [nc, 64]
     ncell = jnp.concatenate(
         [ncell, jnp.zeros((1, N_NEIGH), jnp.int32)], axis=0)
     neigh = jnp.take(pages, ncell.reshape(-1), axis=0)
-    neigh = neigh.reshape(N_CELLS + 1, N_NEIGH, e, ld)
-    return neigh.transpose(0, 2, 3, 1).reshape(N_CELLS + 1, e, ld * N_NEIGH)
+    neigh = neigh.reshape(nc + 1, N_NEIGH, e, ld)
+    if swap:
+        return neigh.transpose(0, 3, 2, 1).reshape(nc + 1, ld * e, N_NEIGH)
+    return neigh.transpose(0, 2, 3, 1).reshape(nc + 1, e, ld * N_NEIGH)
 
 
-def _fold_page_axis(x):
-    """[8 (cell), 4 (offset), ...rest] -> [16 (page), ...rest] along one
-    axis of the page-neighborhood reduction: page = clip(2c - 1 + o, 0, 15).
-    Pure static-slice adds — the axis-separable overlap-add that replaces a
-    [32768, 4096] one-hot matmul reduce."""
+def _fold_page_axis(x, group_res: int = GROUP_RES):
+    """[g (cell), 4 (offset), ...rest] -> [2g (page), ...rest] along one
+    axis of the page-neighborhood reduction: page = clip(2c - 1 + o, 0,
+    2g - 1).  Pure static-slice adds — the axis-separable overlap-add that
+    replaces a huge one-hot matmul reduce."""
+    g = group_res
     rest = x.shape[2:]
-    ext = jnp.zeros((9, 2) + rest, x.dtype)
-    ext = ext.at[0:8, 0].add(x[:, 0])
-    ext = ext.at[0:8, 1].add(x[:, 1])
-    ext = ext.at[1:9, 0].add(x[:, 2])
-    ext = ext.at[1:9, 1].add(x[:, 3])
-    ext = ext.reshape((18,) + rest)                       # ext[m] = 2c + o
+    ext = jnp.zeros((g + 1, 2) + rest, x.dtype)
+    ext = ext.at[0:g, 0].add(x[:, 0])
+    ext = ext.at[0:g, 1].add(x[:, 1])
+    ext = ext.at[1:g + 1, 0].add(x[:, 2])
+    ext = ext.at[1:g + 1, 1].add(x[:, 3])
+    ext = ext.reshape((2 * g + 2,) + rest)                # ext[m] = 2c + o
     lo = (ext[0] + ext[1])[None]                          # pages clip at 0
-    hi = (ext[16] + ext[17])[None]                        # ... and at 15
-    return jnp.concatenate([lo, ext[2:16], hi], axis=0)   # [16, ...]
+    hi = (ext[2 * g] + ext[2 * g + 1])[None]              # ... and at 2g-1
+    return jnp.concatenate([lo, ext[2:2 * g], hi], axis=0)   # [2g, ...]
 
 
-def _pages_from_cells(partials, e: int, ld: int, lp: int):
+def _pages_from_cells(partials, e: int, ld: int, lp: int,
+                      page_res: int = PAGE_RES, swap: bool = False):
     """Reduce per-grouping-cell neighborhood partials to per-page grads.
 
-    partials: [N_CELLS, LP, e, ld*64] (col = d*64 + slot,
-    slot = (i*4 + j)*4 + k).  Returns [LP, cs, ld] f32 — exact, separable
-    per axis (see _fold_page_axis)."""
+    partials: [n_cells, LP, e, ld*64] (col = d*64 + slot,
+    slot = (i*4 + j)*4 + k) or [n_cells, LP, ld*e, 64] when ``swap``.
+    Returns [LP, cs, ld] f32 — exact, separable per axis
+    (see _fold_page_axis)."""
+    g = group_res_of(page_res)
+    nc = g ** 3
     f = lp * e * ld
-    x = partials.reshape(N_CELLS, lp, e, ld, 4, 4, 4)
-    x = x.transpose(0, 4, 5, 6, 1, 2, 3)                  # [cells, i, j, k, F]
-    x = x.reshape(GROUP_RES, GROUP_RES, GROUP_RES, 4, 4, 4, f)
+    if swap:
+        x = partials.reshape(nc, lp, ld, e, 4, 4, 4)
+        x = x.transpose(0, 4, 5, 6, 1, 3, 2)              # [cells, i, j, k, lp, e, ld]
+    else:
+        x = partials.reshape(nc, lp, e, ld, 4, 4, 4)
+        x = x.transpose(0, 4, 5, 6, 1, 2, 3)              # [cells, i, j, k, F]
+    x = x.reshape(g, g, g, 4, 4, 4, f)
     x = x.transpose(0, 3, 1, 2, 4, 5, 6)                  # [cx, i, cy, cz, j, k, F]
-    x = _fold_page_axis(x)                                # [px, cy, cz, j, k, F]
+    x = _fold_page_axis(x, g)                             # [px, cy, cz, j, k, F]
     x = x.transpose(1, 3, 0, 2, 4, 5)                     # [cy, j, px, cz, k, F]
-    x = _fold_page_axis(x)                                # [py, px, cz, k, F]
+    x = _fold_page_axis(x, g)                             # [py, px, cz, k, F]
     x = x.transpose(2, 3, 0, 1, 4)                        # [cz, k, py, px, F]
-    x = _fold_page_axis(x)                                # [pz, py, px, F]
+    x = _fold_page_axis(x, g)                             # [pz, py, px, F]
     x = x.transpose(2, 1, 0, 3)                           # [px, py, pz, F]
-    x = x.reshape(PAGE_RES ** 3, lp, e, ld)
-    return x.transpose(1, 0, 2, 3).reshape(lp, PAGE_RES ** 3 * e, ld)
+    x = x.reshape(page_res ** 3, lp, e, ld)
+    return x.transpose(1, 0, 2, 3).reshape(lp, page_res ** 3 * e, ld)
 
 
 # ---------------------------------------------------------------------------
@@ -588,6 +685,7 @@ class PagedStatic:
     interpret: bool = False
     use_bf16: bool = True
     margin: float = DIRECT_MARGIN
+    force_swap: bool = None   # None = auto (small E); probing/debug knob
 
     @property
     def all_lods(self):
@@ -598,6 +696,33 @@ class PagedStatic:
     @property
     def dtype(self):
         return jnp.bfloat16 if self.use_bf16 else jnp.float32
+
+    @property
+    def page_res(self) -> int:
+        return self.spec.page_res
+
+    @property
+    def group_res(self) -> int:
+        return group_res_of(self.spec.page_res)
+
+    @property
+    def n_cells(self) -> int:
+        return self.group_res ** 3
+
+    @property
+    def entries_per_page(self) -> int:
+        if not self.lods:
+            return 0
+        return paged_params(self.spec.resolutions[self.lods[0]],
+                            self.spec.codebook_size, 3, self.spec.page_res)[1]
+
+    @property
+    def swap(self) -> bool:
+        """Contract the 64-slot axis on the MXU instead of the entry axis
+        when entries-per-page is small (see _lod_gather)."""
+        if self.force_swap is not None:
+            return self.force_swap
+        return bool(self.lods) and self.entries_per_page < N_NEIGH
 
 
 def default_static(spec, interpret: bool = None, use_bf16: bool = True,
@@ -645,7 +770,7 @@ def _lod_table(z, spec, lod):
 
 def _slab_widths(static: PagedStatic):
     return tuple(direct_slab_width(static.spec.resolutions[lod],
-                                   static.margin)
+                                   static.margin, static.group_res)
                  for lod in static.direct_lods)
 
 
@@ -656,11 +781,14 @@ def _kernel_static_args(static: PagedStatic):
     ws = _slab_widths(static)
     res_d = tuple(spec.resolutions[lod] for lod in static.direct_lods)
     starts_d = tuple(tuple(int(s) for s in
-                           _slab_starts_np(r, static.margin)[0])
+                           _slab_starts_np(r, static.margin,
+                                           static.group_res)[0])
                      for r in res_d)
     res_p = tuple(spec.resolutions[lod] for lod in static.lods)
-    e = (paged_params(res_p[0], spec.codebook_size, 3)[1] if res_p else 0)
-    return dict(RES_D=res_d, STARTS_D=starts_d, WS=ws, RES_P=res_p, E=e)
+    e = static.entries_per_page
+    return dict(RES_D=res_d, STARTS_D=starts_d, WS=ws, RES_P=res_p, E=e,
+                GR=static.group_res, PR=static.page_res, SWAP=static.swap,
+                MARGIN=static.margin)
 
 
 def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
@@ -681,18 +809,27 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
     in_specs = [pl.BlockSpec((1, 3, b), lambda i, bc: (i, 0, 0))]
     if lods_d:
         slabs = [_slab_tables(_lod_table(z, spec, lod),
-                              spec.resolutions[lod], ld, static.margin)
+                              spec.resolutions[lod], ld, static.margin,
+                              static.group_res)
                  for lod in lods_d]
         ins += slabs
-        in_specs += [pl.BlockSpec((1, w * w, ld * w),
-                                  lambda i, bc: (bc[i], 0, 0))
-                     for w in karg['WS']]
+        import os as _os
+        if _os.environ.get('SHACIRA_PROBE_FIXED_SLAB'):   # probe-only
+            in_specs += [pl.BlockSpec((1, w * w, ld * w),
+                                      lambda i, bc: (0, 0, 0))
+                         for w in karg['WS']]
+        else:
+            in_specs += [pl.BlockSpec((1, w * w, ld * w),
+                                      lambda i, bc: (bc[i], 0, 0))
+                         for w in karg['WS']]
     if lods_p:
         e = karg['E']
-        neigh = jnp.stack([_neigh_table(_lod_table(z, spec, lod), e, ld)
+        neigh = jnp.stack([_neigh_table(_lod_table(z, spec, lod), e, ld,
+                                        static.page_res, static.swap)
                            for lod in lods_p], axis=1)
         ins += [neigh]
-        in_specs += [pl.BlockSpec((1, len(lods_p), e, ld * N_NEIGH),
+        nshape = ((ld * e, N_NEIGH) if static.swap else (e, ld * N_NEIGH))
+        in_specs += [pl.BlockSpec((1, len(lods_p)) + nshape,
                                   lambda i, bc: (bc[i], 0, 0, 0))]
 
     out = pl.pallas_call(
@@ -748,16 +885,18 @@ def _paged_bwd(static, saved, g):
     ins = [coords_t, gl]
     in_specs = [pl.BlockSpec((1, 3, b), lambda i, bc: (i, 0, 0)),
                 pl.BlockSpec((1, l_total, ld, b), lambda i, bc: (i, 0, 0, 0))]
+    nc = static.n_cells
     out_shapes, out_specs = [], []
     for w in ws:
         out_shapes.append(jax.ShapeDtypeStruct(
-            (N_CELLS + 1, w * w, ld * w), jnp.float32))
+            (nc + 1, w * w, ld * w), jnp.float32))
         out_specs.append(pl.BlockSpec((1, w * w, ld * w),
                                       lambda i, bc: (bc[i], 0, 0)))
     if lods_p:
+        nshape = ((ld * e, N_NEIGH) if static.swap else (e, ld * N_NEIGH))
         out_shapes.append(jax.ShapeDtypeStruct(
-            (N_CELLS + 1, len(lods_p), e, ld * N_NEIGH), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, len(lods_p), e, ld * N_NEIGH),
+            (nc + 1, len(lods_p)) + nshape, jnp.float32))
+        out_specs.append(pl.BlockSpec((1, len(lods_p)) + nshape,
                                       lambda i, bc: (bc[i], 0, 0, 0)))
 
     partials = pl.pallas_call(
@@ -782,10 +921,11 @@ def _paged_bwd(static, saved, g):
     for di, lod in enumerate(lods_d):
         pd = jnp.where(mask[:, None, None], partials[di], 0.0)
         pieces[lod] = _slab_grad_to_table(pd, spec.resolutions[lod], ld,
-                                          static.margin)
+                                          static.margin, static.group_res)
     if lods_p:
         pp = jnp.where(mask[:, None, None, None], partials[len(lods_d)], 0.0)
-        tables = _pages_from_cells(pp[:N_CELLS], e, ld, len(lods_p))
+        tables = _pages_from_cells(pp[:nc], e, ld, len(lods_p),
+                                   static.page_res, static.swap)
         for pi, lod in enumerate(lods_p):
             pieces[lod] = tables[pi]
 

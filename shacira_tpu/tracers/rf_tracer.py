@@ -57,6 +57,14 @@ class RFTracerConfig:
     # max_samples for the MLP.  Requires an encode/head-split field.
     eval_seg_budget: int = 0
     group_segs_per_block: int = 8  # segments per paged-kernel block
+    group_res: int = 8             # grouping cells/axis = grid page_res // 2
+                                   # (trainers derive it from the grid spec)
+    # paged grouping granularity: samples per GROUPED sub-segment (0 = the
+    # whole culling segment).  Finer page geometries (page_res 32) need
+    # shorter grouped spans to satisfy the cover bound at the coarsest
+    # paged LODs; sub-segmenting keeps the cheap 16-sample culling while
+    # grouping at 8 samples.  Must divide segment_size.
+    group_seg_size: int = 0
     # 'exact': per-sample fine occupancy is queried for ALL stage-1 segments
     # (seg_budget of them) and stage-2 keeps only fine-occupied segments.
     # 'deferred' (paged path only): stage-2 keeps the coarse-live prefix —
@@ -413,9 +421,15 @@ def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
     delta2 = take(seg['deltas']).reshape(k2, g)
     ray2 = take(seg['ray']).reshape(k2, g)
 
-    centers01 = samples2[:, g // 2, :] * 0.5 + 0.5
-    n_blocks = k2 // spb + ph.N_CELLS
-    grouping = ph.group_segments(centers01, valid2, spb, n_blocks)
+    # group at sub-segment granularity (gss samples; see group_seg_size)
+    gss = cfg.group_seg_size or g
+    n_sub = k2 * (g // gss)
+    sub_samples = samples2.reshape(n_sub, gss, 3)
+    centers01 = sub_samples[:, gss // 2, :] * 0.5 + 0.5
+    valid_sub = jnp.repeat(valid2, g // gss)
+    n_blocks = n_sub // spb + cfg.group_res ** 3
+    grouping = ph.group_segments(centers01, valid_sub, spb, n_blocks,
+                                 cfg.group_res)
 
     src_idx, k_valid, inv_idx = _stride_compact(fine2.reshape(-1),
                                                 cfg.max_samples)

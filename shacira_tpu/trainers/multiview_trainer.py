@@ -96,6 +96,12 @@ class MultiviewTrainer:
                  val_dataset=None, log_dir=None, logger=None):
         self.cfg = cfg
         self.model_cfg = model_cfg
+        if model_cfg.grid.hash_layout == 'paged':
+            # the tracer's segment grouping must match the grid's paged
+            # geometry (grouping cells = page_res // 2 per axis)
+            from dataclasses import replace as _replace
+            tracer_cfg = _replace(tracer_cfg,
+                                  group_res=model_cfg.grid.page_res // 2)
         self.tracer_cfg = tracer_cfg
         self.dataset = dataset
         self.val_dataset = val_dataset      # held-out split for validation
@@ -161,16 +167,23 @@ class MultiviewTrainer:
         if (model_cfg.grid.hash_layout == 'paged'
                 and tracer_cfg.eval_seg_budget > 0):
             from shacira_tpu.ops import paged_hash as ph
+            if (tracer_cfg.group_seg_size
+                    and tracer_cfg.segment_size % tracer_cfg.group_seg_size):
+                raise ValueError(
+                    f'group_seg_size {tracer_cfg.group_seg_size} must '
+                    f'divide segment_size {tracer_cfg.segment_size}')
             if tracer_cfg.raymarch_type == 'voxel':
                 # a voxel segment's samples lie inside one occupancy cell:
                 # spread around the center sample <= the cell diagonal
                 seg_half01 = float(np.sqrt(3.0)) / model_cfg.occ_cfg.res
             else:
                 # world coords live in [-1,1] -> [0,1] halves distances; the
-                # grouping cell is keyed on the center *sample* (not the
-                # exact midpoint), so allow one extra inter-sample spacing
+                # grouping cell is keyed on the center *sample* of the
+                # GROUPED sub-segment (not the exact midpoint), so allow one
+                # extra inter-sample spacing
+                gss = tracer_cfg.group_seg_size or tracer_cfg.segment_size
                 span = float(dataset.dist_max) - float(dataset.dist_min)
-                seg_half01 = span * (tracer_cfg.segment_size / 2 + 1) \
+                seg_half01 = span * (gss / 2 + 1) \
                     / tracer_cfg.num_steps / 2.0
             ph.validate_paged_cover(model_cfg.grid.spec, seg_half01)
 
@@ -225,7 +238,8 @@ class MultiviewTrainer:
                                  or tcfg.raymarch_type == 'voxel')):
                         seg_group = (tcfg.num_steps
                                      if tcfg.raymarch_type == 'voxel'
-                                     else tcfg.segment_size)
+                                     else (tcfg.group_seg_size
+                                           or tcfg.segment_size))
 
                         # deferred-direct split (rf_tracer.trace triple)
                         def zbar_fn(coords, grouping):
@@ -647,7 +661,7 @@ class MultiviewTrainer:
         if key not in self._fns:
             dist_min, dist_max = d.dist_min, d.dist_max
             seg_group = (tcfg.num_steps if tcfg.raymarch_type == 'voxel'
-                         else tcfg.segment_size)
+                         else (tcfg.group_seg_size or tcfg.segment_size))
 
             @jax.jit
             def render_batch(params, decoded, occ_state, ro, rd, k, lmask):

@@ -13,8 +13,9 @@ from shacira_tpu.ops import hashgrid as hg
 from shacira_tpu.ops import paged_hash as ph
 
 
-def _paged_spec(res_list=(32, 48, 81, 128), bw=17):
-    return hg.HashGridSpec(tuple(res_list), bw, 3, hash_layout='paged')
+def _paged_spec(res_list=(32, 48, 81, 128), bw=17, page_res=16):
+    return hg.HashGridSpec(tuple(res_list), bw, 3, hash_layout='paged',
+                           page_res=page_res)
 
 
 def test_paged_params_and_suffix():
@@ -51,18 +52,45 @@ def test_paged_indexing_in_range_and_spread():
         assert np.unique(idx // e).size > 100
 
 
-def test_collision_rate_matches_xor_layout():
-    """Paged layout must not collide (statistically) more than XOR."""
+@pytest.mark.parametrize('page_res,res,bw', [(16, 81, 17), (16, 128, 17),
+                                              (32, 128, 19), (32, 256, 19)])
+def test_collision_rate_matches_xor_layout(page_res, res, bw):
+    """Collision statistics of the paged layout.
+
+    page_res 16 (>= 32 entries/page) must match XOR's distinct-entry count
+    within 10%.  page_res 32 has few entries per page (16 at bw 19), where
+    even an IDEAL random within-page hash shows fewer distinct entries at
+    sparse sampling densities — expected collision PAIRS are identical
+    (cells-per-page/entries-per-page == global load factor) but allocation
+    variance cannot spill across pages.  The fold_hash finalizer must sit
+    within 5% of that ideal layout (i.e. the shortfall is the documented
+    layout tradeoff, not hash weakness); end-to-end quality parity is
+    covered by test_paged_trainer_matches_xor_end_to_end and full runs."""
     rng = np.random.default_rng(1)
-    spec_x = hg.HashGridSpec((81,), 17, 3, hash_layout='xor')
-    spec_p = hg.HashGridSpec((81,), 17, 3, hash_layout='paged')
+    spec_x = hg.HashGridSpec((res,), bw, 3, hash_layout='xor')
+    spec_p = hg.HashGridSpec((res,), bw, 3, hash_layout='paged',
+                             page_res=page_res)
     coords = jnp.asarray(rng.uniform(-1, 1, (40000, 3)), jnp.float32)
     stats = {}
     for name, spec in [('xor', spec_x), ('paged', spec_p)]:
-        idx, _ = hg._lod_corner_indices_and_weights(coords, 81, spec)
+        idx, _ = hg._lod_corner_indices_and_weights(coords, res, spec)
         stats[name] = np.unique(np.asarray(idx)).size
-    # distinct-entry counts within 10% of each other
-    assert abs(stats['xor'] - stats['paged']) / stats['xor'] < 0.1
+    if page_res == 16:
+        assert abs(stats['xor'] - stats['paged']) / stats['xor'] < 0.1
+        return
+    # page_res 32: compare against the ideal random within-page layout
+    cs = 2 ** bw
+    e = cs // page_res ** 3
+    x = np.clip(res * (np.asarray(coords) * 0.5 + 0.5), 0, res - 1 - 1e-5)
+    pos = np.minimum(np.floor(x), res - 2).astype(np.int64)
+    offs = ((np.arange(8)[:, None] >> (2 - np.arange(3))[None, :]) & 1)
+    corners = (pos[:, None, :] + offs[None]).reshape(-1, 3)
+    cells = (corners[:, 0] * res + corners[:, 1]) * res + corners[:, 2]
+    pax = (corners * page_res) // res
+    page = (pax[:, 0] * page_res + pax[:, 1]) * page_res + pax[:, 2]
+    rh = np.random.default_rng(7).integers(0, e, size=res ** 3)
+    ideal = np.unique(page * e + rh[cells]).size
+    assert stats['paged'] >= 0.95 * ideal, (stats, ideal)
 
 
 def _fake_segments(rng, k_seg, g, live_frac=0.8, seg_half=0.004):
@@ -122,17 +150,20 @@ def test_permute_rows_roundtrip_and_grad():
     np.testing.assert_allclose(g[4], 0.0)   # never selected
 
 
-@pytest.mark.parametrize('ld', [1, 2])
-def test_paged_interp_matches_xla_reference(ld):
-    """Kernel (interpret mode, f32) == plain gather on the paged spec."""
+@pytest.mark.parametrize('ld,page_res', [(1, 16), (2, 16), (1, 32), (2, 32)])
+def test_paged_interp_matches_xla_reference(ld, page_res):
+    """Kernel (interpret mode, f32) == plain gather on the paged spec —
+    both geometries (page_res 32 exercises the small-E swapped MXU order
+    and the fold_hash finalizer)."""
     rng = np.random.default_rng(4)
-    spec = _paged_spec((48, 81, 128), bw=17)
+    spec = _paged_spec((48, 81, 128), bw=17, page_res=page_res)
     _, pag = ph.paged_lods(spec)
     assert len(pag) >= 2
+    gr = ph.group_res_of(page_res)
     k_seg, g, spb = 200, 4, 4
     coords, centers, live = _fake_segments(rng, k_seg, g)
-    n_blocks = -(-k_seg // spb) + ph.N_CELLS
-    grp = ph.group_segments(centers, live, spb, n_blocks)
+    n_blocks = -(-k_seg // spb) + gr ** 3
+    grp = ph.group_segments(centers, live, spb, n_blocks, gr)
     ns = grp['slotseg_to_seg'].shape[0] * g
 
     z = jnp.asarray(rng.normal(size=(spec.total_size, ld)), jnp.float32)
@@ -175,18 +206,19 @@ def test_paged_interp_matches_xla_reference(ld):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize('ld', [1, 2])
-def test_blocklocal_direct_matches_xla_reference(ld):
+@pytest.mark.parametrize('ld,page_res', [(1, 16), (2, 16), (2, 32)])
+def test_blocklocal_direct_matches_xla_reference(ld, page_res):
     """Direct (dense) LODs in-kernel via per-cell slabs == plain gather,
     forward and gradient, alongside the paged LODs in the same fused pass."""
     rng = np.random.default_rng(7)
-    spec = _paged_spec((17, 24, 48, 81, 128), bw=17)
+    spec = _paged_spec((17, 24, 48, 81, 128), bw=17, page_res=page_res)
     rest, direct, pag = ph.blocklocal_lods(spec)
     assert not rest and len(direct) >= 2 and len(pag) >= 2
+    gr = ph.group_res_of(page_res)
     k_seg, g, spb = 200, 4, 4
     coords, centers, live = _fake_segments(rng, k_seg, g)
-    n_blocks = -(-k_seg // spb) + ph.N_CELLS
-    grp = ph.group_segments(centers, live, spb, n_blocks)
+    n_blocks = -(-k_seg // spb) + gr ** 3
+    grp = ph.group_segments(centers, live, spb, n_blocks, gr)
     ns = grp['slotseg_to_seg'].shape[0] * g
 
     z = jnp.asarray(rng.normal(size=(spec.total_size, ld)), jnp.float32)

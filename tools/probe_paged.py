@@ -25,14 +25,25 @@ def main():
     use_bf16 = True
     if '--bf16' in sys.argv:
         use_bf16 = bool(int(sys.argv[sys.argv.index('--bf16') + 1]))
+    page_res = 16
+    if '--page-res' in sys.argv:
+        page_res = int(sys.argv[sys.argv.index('--page-res') + 1])
+    include_direct = '--direct' in sys.argv
     res = hg.geometric_resolutions(16, 512, 24)
-    spec = hg.HashGridSpec(res, 19, 3, hash_layout='paged')
+    spec = hg.HashGridSpec(res, 19, 3, hash_layout='paged',
+                           page_res=page_res)
     non, pag = ph.paged_lods(spec)
     print('resolutions', res)
-    print('paged lods', pag, 'E =', hg.paged_params(res[pag[0]], 2**19, 3))
+    print('paged lods', pag, 'E =',
+          hg.paged_params(res[pag[0]], 2**19, 3, page_res))
 
-    k_seg2, g, spb = 24576, 16, 8
-    n_blocks = k_seg2 // spb + ph.N_CELLS
+    # grouped sub-segment shapes: page 16 -> 16-sample/8 spb; page 32 ->
+    # 8-sample/16 spb over twice the sub-segments (same slot-row count)
+    if page_res == 32:
+        k_seg2, g, spb = 49152, 8, 16
+    else:
+        k_seg2, g, spb = 24576, 16, 8
+    n_blocks = k_seg2 // spb + ph.n_cells_of(page_res)
     ns = n_blocks * spb * g
     print(f'blocks {n_blocks}  slots {ns}')
 
@@ -51,11 +62,26 @@ def main():
     centers_j = jnp.asarray(centers, jnp.float32)
     live = jnp.ones((k_seg2,), bool)
 
-    static = ph.PagedStatic(spec=spec, lods=pag, interpret=False,
-                            use_bf16=use_bf16)
+    rest, direct, pag2 = ph.blocklocal_lods(spec)
+    if '--ndirect' in sys.argv:
+        nd = int(sys.argv[sys.argv.index('--ndirect') + 1])
+        direct = direct[len(direct) - nd:] if nd else ()
+    force_swap = None
+    if '--swap' in sys.argv:
+        force_swap = bool(int(sys.argv[sys.argv.index('--swap') + 1]))
+    if '--npaged' in sys.argv:
+        npg = int(sys.argv[sys.argv.index('--npaged') + 1])
+        pag = pag[:npg] if npg else ()
+    static = ph.PagedStatic(spec=spec, lods=pag,
+                            direct_lods=direct if include_direct else (),
+                            interpret=False, use_bf16=use_bf16,
+                            force_swap=force_swap)
+    print('swap =', static.swap, 'direct =', static.direct_lods,
+          'paged =', static.lods)
+    gr = ph.group_res_of(page_res)
 
     def encode(z, centers_j, coords):
-        grp = ph.group_segments(centers_j, live, spb, n_blocks)
+        grp = ph.group_segments(centers_j, live, spb, n_blocks, gr)
         safe = jnp.minimum(grp['slotseg_to_seg'], k_seg2 - 1)
         slot_rows = jnp.take(coords, safe, axis=0)
         sv_seg = grp['slotseg_to_seg'] < k_seg2
@@ -70,7 +96,8 @@ def main():
 
     fwd = jax.jit(encode)
     grad = jax.jit(jax.grad(loss))
-    grp_only = jax.jit(lambda c: ph.group_segments(c, live, spb, n_blocks))
+    grp_only = jax.jit(lambda c: ph.group_segments(c, live, spb, n_blocks,
+                                                   gr))
 
     for name, fn, args in [
             ('group', grp_only, (centers_j,)),
