@@ -156,11 +156,16 @@ def _slab_starts_np(res: int, margin: float = DIRECT_MARGIN,
 
 
 def _slab_tables(table, res: int, ld: int, margin: float,
-                 group_res: int = GROUP_RES):
+                 group_res: int = GROUP_RES, dtype=None):
     """Dense direct-LOD table [res**3, ld] -> per-grouping-cell subbox slabs
     [n_cells + 1, w*w, ld*w] in kernel layout (row = ly*w + lz,
     col = d*w + lx; pad cell = zeros).  Three axis-gathers of group_res*w
-    static rows each — no per-sample gathers."""
+    static rows each — no per-sample gathers.  ``dtype`` (the kernel's
+    compute dtype) casts before the expansion: the slabs duplicate table
+    rows ~8-30x, and the device streams ~93 GB/s, so building them bf16
+    halves a measurable slice of the step."""
+    if dtype is not None:
+        table = table.astype(dtype)
     starts, w = _slab_starts_np(res, margin, group_res)
     ix = jnp.asarray(starts[:, None] + np.arange(w)[None, :])   # [g, w]
     g8 = group_res
@@ -262,42 +267,70 @@ def _kernel_paged_corners(coords3, c3, res: int, e: int,
         acc = acc ^ (acc >> jnp.uint32(8)) ^ (acc >> jnp.uint32(16)) \
             ^ (acc >> jnp.uint32(24))
     ent = (acc & jnp.uint32(e - 1)).astype(jnp.int32)
-    psel = None
+    psel, p3 = None, []
     for d in range(3):
         pax = jnp.floor((cp[d].astype(jnp.float32) * jnp.float32(page_res)
                          + 0.5) / jnp.float32(res))
         ps = jnp.clip(pax.astype(jnp.int32) - (2 * c3[d] - 1), 0, NEIGH - 1)
+        p3.append(ps)
         psel = ps if psel is None else psel * NEIGH + ps
-    return ent, psel, wgt
+    return ent, psel, p3, wgt
 
 
-def _kernel_direct_corners(coords3, c3, res: int, starts, w: int,
-                           g: int = GROUP_RES, margin: float = DIRECT_MARGIN):
-    """In-kernel slab-local entry (= ly*w + lz) / psel (= lx) / weights at
-    one direct LOD.
+def _kernel_slab_start(c, res: int, w: int, g: int, margin: float, starts):
+    """Scalar slab-window start for grouping-cell coordinate ``c``.
 
-    The per-block window start reproduces the host table
-    (_slab_starts_np) with exact integer arithmetic when margin is a
-    multiple of 1/32 (the default): ``floor((c/g - margin)*res) =
-    floor((c*(32/g) - 32*margin)*res / 32)`` — 3 scalar int ops per axis
-    instead of a ``group_res``-way select cascade (the cascade measurably
-    serializes the kernel on the scalar core at group_res 16).  ``starts``
-    stays as the fallback for non-dyadic margins."""
-    pos, frac = _kernel_pos_frac(coords3, res)
-    cp, wgt = _kernel_corner_pos_w(pos, frac)
+    Reproduces the host table (_slab_starts_np) with exact integer
+    arithmetic when margin is a multiple of 1/32 (the default):
+    ``floor((c/g - margin)*res) = floor((c*(32/g) - 32*margin)*res / 32)``
+    — 3 scalar int ops per axis instead of a ``group_res``-way select
+    cascade (the cascade measurably serializes the kernel on the scalar
+    core at group_res 16).  ``starts`` stays as the fallback for
+    non-dyadic margins."""
     m32 = margin * 32
-    int_path = (32 % g == 0 and abs(m32 - round(m32)) < 1e-9)
-    local = []
+    if 32 % g == 0 and abs(m32 - round(m32)) < 1e-9:
+        st = ((c * (32 // g) - int(round(m32))) * res) // 32
+        return jnp.clip(st, 0, res - w)
+    st = jnp.int32(starts[0])
+    for cv in range(1, len(starts)):
+        st = jnp.where(c == cv, jnp.int32(starts[cv]), st)
+    return st
+
+
+def _kernel_direct_folded(coords3, c3, res: int, starts, w: int,
+                          g: int = GROUP_RES, margin: float = DIRECT_MARGIN):
+    """Corner-folded direct-LOD lookup data: per-AXIS 2-hot weight vectors
+    instead of 8 corner rows.
+
+    Trilinear interpolation over a dense slab is separable — the weighted
+    sum over the 8 corners is the tensor product of three per-axis
+    (1-frac, frac) pairs — so instead of expanding samples to 8 corner rows
+    (streaming 8x the columns through the one-hot matmul and page select,
+    as the hashed LODs must), the kernel folds the corners into a *weighted*
+    one-hot: ``by``/``bz`` combine into a [w*w, B] row matrix with at most
+    4 nonzeros per column and ``mx`` 2-hot-selects the x pair after the
+    contraction.  ~8x fewer MXU-streamed columns and ~10x cheaper one-hot
+    construction than the corner-expanded form, exact in f32 (weight
+    products merely reassociate).
+
+    Returns (by, bz, mx): [w, B] f32 each; by[r,b] = (r==ly)*(1-fy) +
+    (r==ly+1)*fy with the same defensive index clipping as the corner path
+    (clip collisions sum the weights, matching the corner-expanded math).
+    """
+    pos, frac = _kernel_pos_frac(coords3, res)
+    b = pos[0].shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+    out = []
     for d in range(3):
-        if int_path:
-            st = ((c3[d] * (32 // g) - int(round(m32))) * res) // 32
-            st = jnp.clip(st, 0, res - w)
-        else:
-            st = jnp.int32(starts[0])
-            for cv in range(1, len(starts)):
-                st = jnp.where(c3[d] == cv, jnp.int32(starts[cv]), st)
-        local.append(jnp.clip(cp[d] - st, 0, w - 1))
-    return local[1] * w + local[2], local[0], wgt
+        st = _kernel_slab_start(c3[d], res, w, g, margin, starts)
+        lb = pos[d] - st
+        i0 = jnp.clip(lb, 0, w - 1)[None]
+        i1 = jnp.clip(lb + 1, 0, w - 1)[None]
+        f = frac[d][None]
+        out.append((iota == i0).astype(jnp.float32) * (1.0 - f)
+                   + (iota == i1).astype(jnp.float32) * f)
+    mx, by, bz = out                  # axis order (x, y, z)
+    return by, bz, mx
 
 
 # ---------------------------------------------------------------------------
@@ -422,32 +455,34 @@ def _dot_precision(dtype):
             else jax.lax.Precision.HIGHEST)
 
 
-def _lod_gather(ent, psel, wgt, tab, E, NP, C, B, LD, dtype,
+def _lod_gather(ent, psel, p3, wgt, tab, E, NP, C, B, LD, dtype,
                 swap: bool = False):
     """One LOD's block encode.
 
     Two MXU orders (same math, different contraction axis):
       * swap=False (large E): [E, C*B] one-hot entry contraction on the MXU
-        ([LD*NP, cb] result), then a [NP, C*B] one-hot page/line select and
-        corner sum on the VPU.  Optimal when E ~ 128 (full contraction).
+        ([LD*NP, cb] result), then a separable per-axis page select and
+        corner sum on the VPU (the 4^3 slot axis factors into three 4-way
+        selects — ~1.5x fewer VPU ops than one [NP, C*B] one-hot).
       * swap=True (small E, page_res 32: E = cs/32768): contract the
         NP(=64)-slot axis on the MXU ([LD*E, cb] result — 4-8x fewer
         streamed rows when E < NP), then select entries with the [E, C*B]
         one-hot on the VPU.  With K=E the un-swapped contraction would
         leave 7/8 of the MXU idle.
 
-    ent/psel/wgt: [C, B] refs' loaded blocks; tab: [E, LD*NP] resident
-    window (swap=False) or [LD*E, NP] (swap=True); page neighborhood or
-    dense slab.  Returns [LD, B] f32.
+    ent/psel/wgt: [C, B] refs' loaded blocks; p3: per-axis page-slot
+    coords (3 x [C, B], slot = (px*4 + py)*4 + pz); tab: [E, LD*NP]
+    resident window (swap=False) or [LD*E, NP] (swap=True); page
+    neighborhood or dense slab.  Returns [LD, B] f32.
     """
     cb = C * B
     ent = ent.reshape(cb)                                 # corner-major
-    psel = psel.reshape(cb)
     wgt = wgt.reshape(cb)
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, cb), 0)
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
     accs = []
     if swap:
+        psel = psel.reshape(cb)
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
         m = (psel[None, :] == p_iota).astype(dtype)       # [NP, C*B]
         g = jax.lax.dot_general(tab.astype(dtype), m,
                                 (((1,), (0,)), ((), ())),
@@ -463,9 +498,14 @@ def _lod_gather(ent, psel, wgt, tab, E, NP, C, B, LD, dtype,
                                 (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_dot_precision(dtype))  # [LD*NP, cb]
-        m = (psel[None, :] == p_iota).astype(jnp.float32)  # [NP, C*B]
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (NEIGH, cb), 0)
+        m3 = [(p.reshape(cb)[None, :] == q_iota).astype(jnp.float32)
+              for p in p3]                                # 3 x [4, C*B]
         for d in range(LD):
-            sel = jnp.sum(g[d * NP:(d + 1) * NP, :] * m, axis=0)
+            gd = g[d * NP:(d + 1) * NP, :].reshape(NEIGH, NEIGH, NEIGH, cb)
+            t = jnp.sum(gd * m3[2][None, None, :, :], axis=2)   # [4, 4, cb]
+            t = jnp.sum(t * m3[1][None, :, :], axis=1)          # [4, cb]
+            sel = jnp.sum(t * m3[0], axis=0)                    # [cb]
             accs.append(jnp.sum((wgt * sel).reshape(C, B), axis=0))
     return jnp.stack(accs)                                # [LD, B]
 
@@ -504,12 +544,54 @@ def _lod_scatter(ent, psel, wgt, gl, E, NP, C, B, LD, dtype,
                                precision=_dot_precision(dtype))
 
 
+def _lod_gather_direct_folded(by, bz, mx, slab, w: int, LD: int, dtype):
+    """Corner-folded direct-LOD block encode (see _kernel_direct_folded).
+
+    slab: [w*w, LD*w] resident window.  Returns [LD, B] f32."""
+    b = by.shape[1]
+    bmat = (by[:, None, :] * bz[None, :, :]).reshape(w * w, b)
+    gsel = jax.lax.dot_general(slab.astype(dtype), bmat.astype(dtype),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_dot_precision(dtype))  # [LD*w, B]
+    return jnp.stack([jnp.sum(gsel[d * w:(d + 1) * w] * mx, axis=0)
+                      for d in range(LD)])
+
+
+def _lod_scatter_direct_folded(by, bz, mx, gl, w: int, LD: int, dtype):
+    """Backward of :func:`_lod_gather_direct_folded`; gl: [LD, B] output
+    grad.  Returns the slab-window grad [w*w, LD*w] f32."""
+    b = by.shape[1]
+    bmat = (by[:, None, :] * bz[None, :, :]).reshape(w * w, b)
+    rows = jnp.concatenate([mx * gl[d][None, :] for d in range(LD)], axis=0)
+    return jax.lax.dot_general(bmat.astype(dtype), rows.astype(dtype),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_dot_precision(dtype))  # [w*w, LD*w]
+
+
 def _kernel_block_cell3(bc, g: int = GROUP_RES):
     """Grouping-cell coordinates (3 scalars) of the block's cell id; pad
     blocks (cell == n_cells) clamp to any valid cell — their rows are
     masked by the caller."""
     bc = jnp.minimum(bc, g ** 3 - 1)
     return bc // (g * g), (bc // g) % g, bc % g
+
+
+def _slab_pack_meta(ws, ld: int):
+    """(lane offsets per direct LOD, packed lane width, packed row count)
+    of the single packed slab operand.
+
+    All direct LODs share one [wmax², Σ ld·w]-shaped window: individually
+    the slabs have ld·w <= 16 lanes, and XLA pads HBM buffers to 128 lanes,
+    so streaming them separately moves up to 8x phantom bytes (and issues
+    one DMA program per LOD); packed they are lane-dense."""
+    offs, total = [], 0
+    for w in ws:
+        offs.append(total)
+        total += ld * w
+    wmax2 = max((w * w for w in ws), default=0)
+    return tuple(offs), total, wmax2
 
 
 def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
@@ -519,14 +601,16 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
     LOD stack.  Corner data (entry/psel/weights) is computed in-kernel from
     the block's coords (see the in-kernel corner math section).
 
-    args: one slab ref [1, w*w, LD*w] per direct LOD; if RES_P: neigh
-    [1, LP, E, LD*64]; then out [1, Ld+LP, LD, B].  coords_ref is
-    [1, 3, B].  Output rows follow ascending LOD order (direct LODs are
-    the coarser prefix)."""
+    args: if WS: one packed slab ref [1, wmax², Σ ld·w] covering every
+    direct LOD (_slab_pack_meta); if RES_P: packed neigh
+    [1, E, LP*LD*64] (swap: [1, LD*E, LP*64]); then out [1, Ld+LP, LD, B].
+    coords_ref is [1, 3, B].  Output rows follow ascending LOD order
+    (direct LODs are the coarser prefix)."""
     it = iter(args)
-    slabs = [next(it) for _ in WS]
+    slab_pack = next(it) if WS else None
     neigh = next(it) if RES_P else None
     out_ref = next(it)
+    offs, _, _ = _slab_pack_meta(WS, LD)
     i = pl.program_id(0)
     bc = bc_ref[i]
     is_pad = bc == GR ** 3          # grouping put pad blocks last
@@ -548,17 +632,19 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
             sl = slice(h * hb, (h + 1) * hb)
             li = 0
             for di, w in enumerate(WS):
-                ent, psel, wgt = _kernel_direct_corners(
+                by, bz, mx = _kernel_direct_folded(
                     coords3, c3, RES_D[di], STARTS_D[di], w, GR, MARGIN)
-                out_ref[0, li, :, sl] = _lod_gather(
-                    ent, psel, wgt, slabs[di][0],
-                    E=w * w, NP=w, C=C, B=hb, LD=LD, dtype=dtype)
+                slab = slab_pack[0, 0:w * w, offs[di]:offs[di] + LD * w]
+                out_ref[0, li, :, sl] = _lod_gather_direct_folded(
+                    by, bz, mx, slab, w=w, LD=LD, dtype=dtype)
                 li += 1
             for pi, res in enumerate(RES_P):
-                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E,
-                                                       PR)
+                ent, psel, p3, wgt = _kernel_paged_corners(coords3, c3, res,
+                                                           E, PR)
+                nw = LD * N_NEIGH if not SWAP else N_NEIGH
+                tab = (neigh[0, :, pi * nw:(pi + 1) * nw])
                 out_ref[0, li, :, sl] = _lod_gather(
-                    ent, psel, wgt, neigh[0, pi],
+                    ent, psel, p3, wgt, tab,
                     E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype,
                     swap=SWAP)
                 li += 1
@@ -567,9 +653,12 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
 def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
                     RES_P, C, B, E, LD, dtype, GR, PR, SWAP, MARGIN):
     """Backward of :func:`_gather_kernel`: per-grouping-cell window partials
-    for every LOD, accumulated across consecutive same-cell blocks.  The
-    incoming grad g_ref [1, L, LD, B] must already be masked by slot
-    validity (corner weights are recomputed unmasked in-kernel)."""
+    for every LOD, accumulated across consecutive same-cell blocks, in the
+    same packed layouts as the forward operands (one slab output
+    [1, wmax², Σ ld·w] + one neigh output).  The incoming grad g_ref
+    [1, L, LD, B] must already be masked by slot validity (corner weights
+    are recomputed unmasked in-kernel)."""
+    offs, _, _ = _slab_pack_meta(WS, LD)
     i = pl.program_id(0)
     bc = bc_ref[i]
     prev = bc_ref[jnp.maximum(i - 1, 0)]
@@ -591,27 +680,33 @@ def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
             sl = slice(h * hb, (h + 1) * hb)
             li = 0
             for di, w in enumerate(WS):
-                ent, psel, wgt = _kernel_direct_corners(
+                by, bz, mx = _kernel_direct_folded(
                     coords3, c3, RES_D[di], STARTS_D[di], w, GR, MARGIN)
-                outs[di][0] += _lod_scatter(
-                    ent, psel, wgt, g_ref[0, li, :, sl],
-                    E=w * w, NP=w, C=C, B=hb, LD=LD, dtype=dtype)
+                outs[0][0, 0:w * w, offs[di]:offs[di] + LD * w] += (
+                    _lod_scatter_direct_folded(
+                        by, bz, mx, g_ref[0, li, :, sl], w=w, LD=LD,
+                        dtype=dtype))
                 li += 1
             for pi, res in enumerate(RES_P):
-                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res, E,
-                                                       PR)
-                outs[len(WS)][0, pi] += _lod_scatter(
-                    ent, psel, wgt, g_ref[0, li, :, sl],
-                    E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype,
-                    swap=SWAP)
+                ent, psel, _, wgt = _kernel_paged_corners(coords3, c3, res,
+                                                          E, PR)
+                nw = LD * N_NEIGH if not SWAP else N_NEIGH
+                outs[1 if WS else 0][0, :, pi * nw:(pi + 1) * nw] += (
+                    _lod_scatter(
+                        ent, psel, wgt, g_ref[0, li, :, sl],
+                        E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype,
+                        swap=SWAP))
                 li += 1
 
 
 def _neigh_table(table, e: int, ld: int, page_res: int = PAGE_RES,
-                 swap: bool = False):
+                 swap: bool = False, dtype=None):
     """[cs, ld] table -> per-grouping-cell page neighborhoods in kernel
     layout: [n_cells+1, E, LD*64] (col = l*64 + slot; swap=False) or
-    [n_cells+1, LD*E, 64] (row = l*E + entry; swap=True)."""
+    [n_cells+1, LD*E, 64] (row = l*E + entry; swap=True).  ``dtype`` casts
+    before the 8x page duplication (see _slab_tables)."""
+    if dtype is not None:
+        table = table.astype(dtype)
     nc = n_cells_of(page_res)
     p = table.shape[0] // e
     pages = table.reshape(p, e * ld)
@@ -805,32 +900,39 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
     karg = _kernel_static_args(static)
     coords_t = coords_s.reshape(nb, b, 3).transpose(0, 2, 1)  # [NB, 3, B]
 
+    import os as _os
     ins = [coords_t]
     in_specs = [pl.BlockSpec((1, 3, b), lambda i, bc: (i, 0, 0))]
     if lods_d:
+        offs, wl, wmax2 = _slab_pack_meta(karg['WS'], ld)
         slabs = [_slab_tables(_lod_table(z, spec, lod),
                               spec.resolutions[lod], ld, static.margin,
-                              static.group_res)
+                              static.group_res, dtype=static.dtype)
                  for lod in lods_d]
-        ins += slabs
-        import os as _os
+        ins += [jnp.concatenate(
+            [jnp.pad(s, ((0, 0), (0, wmax2 - s.shape[1]), (0, 0)))
+             for s in slabs], axis=-1)]                  # [nc+1, wmax2, WL]
         if _os.environ.get('SHACIRA_PROBE_FIXED_SLAB'):   # probe-only
-            in_specs += [pl.BlockSpec((1, w * w, ld * w),
-                                      lambda i, bc: (0, 0, 0))
-                         for w in karg['WS']]
+            in_specs += [pl.BlockSpec((1, wmax2, wl),
+                                      lambda i, bc: (0, 0, 0))]
         else:
-            in_specs += [pl.BlockSpec((1, w * w, ld * w),
-                                      lambda i, bc: (bc[i], 0, 0))
-                         for w in karg['WS']]
+            in_specs += [pl.BlockSpec((1, wmax2, wl),
+                                      lambda i, bc: (bc[i], 0, 0))]
     if lods_p:
         e = karg['E']
-        neigh = jnp.stack([_neigh_table(_lod_table(z, spec, lod), e, ld,
-                                        static.page_res, static.swap)
-                           for lod in lods_p], axis=1)
+        neigh = jnp.concatenate(
+            [_neigh_table(_lod_table(z, spec, lod), e, ld,
+                          static.page_res, static.swap, dtype=static.dtype)
+             for lod in lods_p], axis=-1)
         ins += [neigh]
-        nshape = ((ld * e, N_NEIGH) if static.swap else (e, ld * N_NEIGH))
-        in_specs += [pl.BlockSpec((1, len(lods_p)) + nshape,
-                                  lambda i, bc: (bc[i], 0, 0, 0))]
+        nshape = ((ld * e, len(lods_p) * N_NEIGH) if static.swap
+                  else (e, len(lods_p) * ld * N_NEIGH))
+        if _os.environ.get('SHACIRA_PROBE_FIXED_NEIGH'):  # probe-only
+            in_specs += [pl.BlockSpec((1,) + nshape,
+                                      lambda i, bc: (0, 0, 0))]
+        else:
+            in_specs += [pl.BlockSpec((1,) + nshape,
+                                      lambda i, bc: (bc[i], 0, 0))]
 
     out = pl.pallas_call(
         functools.partial(_gather_kernel, C=c, B=b, LD=ld,
@@ -887,17 +989,19 @@ def _paged_bwd(static, saved, g):
                 pl.BlockSpec((1, l_total, ld, b), lambda i, bc: (i, 0, 0, 0))]
     nc = static.n_cells
     out_shapes, out_specs = [], []
-    for w in ws:
+    if ws:
+        offs, wl, wmax2 = _slab_pack_meta(ws, ld)
         out_shapes.append(jax.ShapeDtypeStruct(
-            (nc + 1, w * w, ld * w), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, w * w, ld * w),
+            (nc + 1, wmax2, wl), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, wmax2, wl),
                                       lambda i, bc: (bc[i], 0, 0)))
     if lods_p:
-        nshape = ((ld * e, N_NEIGH) if static.swap else (e, ld * N_NEIGH))
+        nshape = ((ld * e, len(lods_p) * N_NEIGH) if static.swap
+                  else (e, len(lods_p) * ld * N_NEIGH))
         out_shapes.append(jax.ShapeDtypeStruct(
-            (nc + 1, len(lods_p)) + nshape, jnp.float32))
-        out_specs.append(pl.BlockSpec((1, len(lods_p)) + nshape,
-                                      lambda i, bc: (bc[i], 0, 0, 0)))
+            (nc + 1,) + nshape, jnp.float32))
+        out_specs.append(pl.BlockSpec((1,) + nshape,
+                                      lambda i, bc: (bc[i], 0, 0)))
 
     partials = pl.pallas_call(
         functools.partial(_scatter_kernel, C=c, B=b, LD=ld,
@@ -915,16 +1019,34 @@ def _paged_bwd(static, saved, g):
         partials = [partials]
     partials = list(partials)
 
-    # unvisited cells hold garbage — mask before reducing to tables
+    # unvisited cells hold garbage — mask before reducing to tables.  The
+    # window->table reduction chains stream ~10x the table size; in bf16
+    # mode they run bf16 (the kernels' per-block accumulation stays f32) —
+    # same precision class as the reference's fp16 atomicAdd backward
+    # (hashgrid_interpolate_cuda.cu:199-209).
     mask = jnp.concatenate([cell_used, jnp.zeros((1,), bool)])
     pieces = {}
-    for di, lod in enumerate(lods_d):
-        pd = jnp.where(mask[:, None, None], partials[di], 0.0)
-        pieces[lod] = _slab_grad_to_table(pd, spec.resolutions[lod], ld,
-                                          static.margin, static.group_res)
+    if lods_d:
+        offs, _, _ = _slab_pack_meta(ws, ld)
+        ps = jnp.where(mask[:, None, None], partials[0],
+                       0.0).astype(static.dtype)
+        for di, lod in enumerate(lods_d):
+            w = ws[di]
+            pd = ps[:, 0:w * w, offs[di]:offs[di] + ld * w]
+            pieces[lod] = _slab_grad_to_table(pd, spec.resolutions[lod], ld,
+                                              static.margin,
+                                              static.group_res)
     if lods_p:
-        pp = jnp.where(mask[:, None, None, None], partials[len(lods_d)], 0.0)
-        tables = _pages_from_cells(pp[:nc], e, ld, len(lods_p),
+        lp = len(lods_p)
+        pp = jnp.where(mask[:, None, None], partials[1 if lods_d else 0],
+                       0.0).astype(static.dtype)
+        if static.swap:                 # [nc+1, ld*e, lp*64]
+            pp = pp[:nc].reshape(nc, ld * e, lp, N_NEIGH)
+            pp = pp.transpose(0, 2, 1, 3)
+        else:                           # [nc+1, e, lp*ld*64]
+            pp = pp[:nc].reshape(nc, e, lp, ld * N_NEIGH)
+            pp = pp.transpose(0, 2, 1, 3)
+        tables = _pages_from_cells(pp, e, ld, lp,
                                    static.page_res, static.swap)
         for pi, lod in enumerate(lods_p):
             pieces[lod] = tables[pi]

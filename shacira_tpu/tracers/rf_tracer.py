@@ -325,7 +325,7 @@ def coarse_segment_live(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
 
 
 def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
-                         rays: Rays, rng, defer_fine: bool = False):
+                         rays: Rays, rng):
     """'ray' marching with segment-level coarse culling (see RFTracerConfig).
 
     With sufficient budgets the result matches the dense path exactly: only
@@ -348,13 +348,7 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
     o_s = jnp.take(rays.origins, r_id, axis=0)
     d_s = jnp.take(rays.dirs, r_id, axis=0)
     samples_s = o_s[:, None, :] + d_s[:, None, :] * depth_s[..., None]
-    if defer_fine:
-        # deferred fine mode: liveness is the (conservative) coarse midpoint
-        # test that stage-1 compaction already keyed on; the per-sample fine
-        # query runs in _trace_paged on the eval_seg_budget survivors only
-        fine = jnp.broadcast_to(seg_valid[:, None], (k_seg, G))
-    else:
-        fine = occ.query(occ_state, occ_cfg, samples_s) & seg_valid[:, None]
+    fine = occ.query(occ_state, occ_cfg, samples_s) & seg_valid[:, None]
 
     # segment-major arrays over [k_seg, G]; segments ascend in (ray, depth)
     # order over the live prefix (stable compaction), as the compact
@@ -369,6 +363,48 @@ def _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg: RFTracerConfig,
         seg_valid=seg_valid)
 
 
+def _trace_ray_deferred(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
+                        rng, fine_qfn):
+    """Deferred-fine segmented march producing stage-2 segments directly.
+
+    fine_mode='deferred': stage-1 liveness is the (conservative) coarse
+    midpoint test, so stage-2's stride selection is pure index arithmetic on
+    stage-1's compacted index list — segment data (depths, deltas, sample
+    positions) is gathered ONCE at the eval_seg_budget (k2) granularity
+    instead of materializing seg_budget (~5x more) rows first, and the
+    per-sample fine query runs on the k2 survivors only.  Produces exactly
+    the rows `_stage2_take(_trace_ray_segmented(...))` would
+    (arrays[src_seg][sel] == arrays[src_seg[sel]])."""
+    G = cfg.segment_size
+    ns = cfg.num_steps // G
+    R = rays.origins.shape[0]
+    depth, deltas, mask_c = coarse_segment_live(occ_state, occ_cfg, cfg,
+                                                rays, rng)
+    k_seg = cfg.seg_budget or max(1, 8 * cfg.max_samples // G)
+    src_seg, seg_valid, _ = _stride_compact(mask_c.reshape(-1), k_seg)
+    k2 = cfg.eval_seg_budget
+    n_live = jnp.sum(seg_valid)
+    stride = jnp.maximum(1, -(-n_live // k2))
+    sel = jnp.arange(k2, dtype=jnp.int32) * stride
+    valid2 = sel < n_live
+    src2 = jnp.take(src_seg, jnp.minimum(sel, k_seg - 1))   # flat seg ids
+    r_id = src2 // ns
+    depth2 = jnp.take(depth.reshape(R * ns, G), src2, axis=0)
+    delta2 = jnp.take(deltas.reshape(R * ns, G), src2, axis=0)
+    o2 = jnp.take(rays.origins, r_id, axis=0)
+    d2 = jnp.take(rays.dirs, r_id, axis=0)
+    samples2 = o2[:, None, :] + d2[:, None, :] * depth2[..., None]
+    fine2 = fine_qfn(samples2) & valid2[:, None]
+    return dict(
+        samples=samples2,
+        dirs=jnp.broadcast_to(d2[:, None, :], samples2.shape),
+        fine=fine2,
+        depth=depth2,
+        deltas=delta2,
+        ray=jnp.broadcast_to(r_id[:, None], (k2, G)),
+        valid=valid2)
+
+
 def _flatten_segs(seg):
     return dict(
         samples=seg['samples'].reshape(-1, 3),
@@ -379,15 +415,9 @@ def _flatten_segs(seg):
         ray=seg['ray'].reshape(-1))
 
 
-def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
-                 num_rays: int, finish_fn=None, fine_qfn=None):
-    """Segment-grouped paged trace: second-stage segment compaction,
-    coarse-cell grouping, paged grid encode on all segment rows, then
-    row-level compaction for the MLP head and compact integration.
-
-    With ``finish_fn`` (the deferred-direct split), ``encode_fn`` returns
-    only the paged LODs' narrow latents and ``finish_fn(zbar_c, coords_c)``
-    completes the features on the compacted rows.
+def _stage2_take(seg, cfg: RFTracerConfig, fine_qfn=None):
+    """Second-stage segment compaction: keep (up to) ``eval_seg_budget``
+    live segments and gather their per-segment data.
 
     With ``fine_qfn`` (fine_mode='deferred'), ``seg['mask']`` is the
     broadcast coarse liveness: stage-1 already compacted live segments into
@@ -395,11 +425,8 @@ def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
     that prefix (equal to _stride_compact on a prefix mask, minus its
     cumsum + scatter), and the per-sample fine mask is queried here on the
     eval_seg_budget survivors only."""
-    from shacira_tpu.ops import paged_hash as ph
-
     g = seg['samples'].shape[1]
     k2 = cfg.eval_seg_budget
-    spb = cfg.group_segs_per_block
     if fine_qfn is not None:
         n_live = jnp.sum(seg['seg_valid'])
         stride = jnp.maximum(1, -(-n_live // k2))
@@ -412,21 +439,48 @@ def _trace_paged(encode_fn, head_fn, seg, cfg: RFTracerConfig,
     take = lambda a: jnp.take(a.reshape(a.shape[0], -1), src2,
                               axis=0)
     samples2 = take(seg['samples']).reshape(k2, g, 3)
-    dirs2 = take(seg['dirs']).reshape(k2, g, 3)
     if fine_qfn is not None:
         fine2 = fine_qfn(samples2) & valid2[:, None]
     else:
         fine2 = take(seg['mask']).reshape(k2, g) & valid2[:, None]
-    depth2 = take(seg['depth']).reshape(k2, g)
-    delta2 = take(seg['deltas']).reshape(k2, g)
-    ray2 = take(seg['ray']).reshape(k2, g)
+    return dict(
+        samples=samples2,
+        dirs=take(seg['dirs']).reshape(k2, g, 3),
+        fine=fine2,
+        depth=take(seg['depth']).reshape(k2, g),
+        deltas=take(seg['deltas']).reshape(k2, g),
+        ray=take(seg['ray']).reshape(k2, g),
+        valid=valid2)
+
+
+def _trace_paged(encode_fn, head_fn, seg2, cfg: RFTracerConfig,
+                 num_rays: int, finish_fn=None):
+    """Segment-grouped paged trace over stage-2-compacted segments:
+    coarse-cell grouping, paged grid encode on all segment rows, then
+    row-level compaction for the MLP head and compact integration.
+
+    With ``finish_fn`` (the deferred-direct split), ``encode_fn`` returns
+    only the paged LODs' narrow latents and ``finish_fn(zbar_c, coords_c)``
+    completes the features on the compacted rows."""
+    from shacira_tpu.ops import paged_hash as ph
+
+    samples2, fine2, valid2 = seg2['samples'], seg2['fine'], seg2['valid']
+    dirs2, depth2, delta2, ray2 = (seg2['dirs'], seg2['depth'],
+                                   seg2['deltas'], seg2['ray'])
+    k2, g = samples2.shape[0], samples2.shape[1]
+    spb = cfg.group_segs_per_block
 
     # group at sub-segment granularity (gss samples; see group_seg_size)
     gss = cfg.group_seg_size or g
     n_sub = k2 * (g // gss)
     sub_samples = samples2.reshape(n_sub, gss, 3)
     centers01 = sub_samples[:, gss // 2, :] * 0.5 + 0.5
-    valid_sub = jnp.repeat(valid2, g // gss)
+    # fully fine-dead sub-segments never reach the head (all their rows
+    # carry zero optical thickness), so drop them from the grouping too —
+    # they then occupy no kernel blocks (pad-block skip) and the encode
+    # cost tracks the fine-live volume, not the coarse-live one
+    fine_sub = fine2.reshape(n_sub, gss).any(axis=-1)
+    valid_sub = jnp.repeat(valid2, g // gss) & fine_sub
     n_blocks = n_sub // spb + cfg.group_res ** 3
     grouping = ph.group_segments(centers01, valid_sub, spb, n_blocks,
                                  cfg.group_res)
@@ -501,28 +555,33 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
             ray=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None],
                                  (R, I, S)).reshape(k, S),
             seg_valid=None)
+        seg2 = _stage2_take(seg, cfg)
         if len(encode_split) == 3:
-            out = _trace_paged(encode_split[0], encode_split[2], seg, cfg, R,
+            out = _trace_paged(encode_split[0], encode_split[2], seg2, cfg, R,
                                finish_fn=encode_split[1])
         else:
-            out = _trace_paged(encode_split[0], encode_split[1], seg, cfg, R)
+            out = _trace_paged(encode_split[0], encode_split[1], seg2, cfg, R)
     elif (cfg.raymarch_type == 'ray' and cfg.segment_size > 0
             and cfg.max_samples > 0):
         paged = encode_split is not None and cfg.eval_seg_budget > 0
-        defer = paged and cfg.fine_mode == 'deferred'
-        seg = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg, rays,
-                                   rng, defer_fine=defer)
         if paged:
-            fine_qfn = ((lambda s: occ.query(occ_state, occ_cfg, s))
-                        if defer else None)
-            if len(encode_split) == 3:      # (zbar_fn, finish_fn, head_fn)
-                out = _trace_paged(encode_split[0], encode_split[2], seg,
-                                   cfg, R, finish_fn=encode_split[1],
-                                   fine_qfn=fine_qfn)
+            if cfg.fine_mode == 'deferred':
+                seg2 = _trace_ray_deferred(
+                    occ_state, occ_cfg, cfg, rays, rng,
+                    lambda s: occ.query(occ_state, occ_cfg, s))
             else:
-                out = _trace_paged(encode_split[0], encode_split[1], seg,
-                                   cfg, R, fine_qfn=fine_qfn)
+                seg = _trace_ray_segmented(field_fn, occ_state, occ_cfg,
+                                           cfg, rays, rng)
+                seg2 = _stage2_take(seg, cfg)
+            if len(encode_split) == 3:      # (zbar_fn, finish_fn, head_fn)
+                out = _trace_paged(encode_split[0], encode_split[2], seg2,
+                                   cfg, R, finish_fn=encode_split[1])
+            else:
+                out = _trace_paged(encode_split[0], encode_split[1], seg2,
+                                   cfg, R)
         else:
+            seg = _trace_ray_segmented(field_fn, occ_state, occ_cfg, cfg,
+                                       rays, rng)
             out = _trace_compact_flat(field_fn, _flatten_segs(seg),
                                       cfg.max_samples, R)
     else:

@@ -206,13 +206,25 @@ class MultiviewTrainer:
             # (utils/rng.py — hardware RngBitGenerator when 'unsafe_rbg')
             k_sga = step_key(k_sga, cfg.rng_impl)
             k_noise = step_key(k_noise, cfg.rng_impl)
+            # the [R, num_steps] march jitter is a bulk draw too
+            k_march = step_key(k_march, cfg.rng_impl)
+            noise_step = noise
             if entropy_on:
-                # cond, not where: skip the full-table draw on non-refresh
-                # steps (noise_freq > 1 configs, e.g. pearl's 50)
-                noise = jax.lax.cond(
-                    refresh_noise,
-                    lambda n: jax.random.uniform(k_noise, n.shape) - 0.5,
-                    lambda n: n, noise)
+                if cfg.noise_freq == 1:
+                    # refresh-every-step configs (lego): draw inline and
+                    # leave the carried array untouched — regenerating via
+                    # the step generator is cheaper than streaming the
+                    # 32 MB carry (measured 1.7 ms/step, tools/probe_scan)
+                    noise_step = jax.random.uniform(k_noise,
+                                                    noise.shape) - 0.5
+                else:
+                    # cond, not where: skip the full-table draw on
+                    # non-refresh steps (noise_freq > 1, e.g. pearl's 50)
+                    noise = jax.lax.cond(
+                        refresh_noise,
+                        lambda n: jax.random.uniform(k_noise, n.shape) - 0.5,
+                        lambda n: n, noise)
+                    noise_step = noise
 
             rays = make_rays(rays_o, rays_d, dist_min, dist_max)
 
@@ -273,7 +285,8 @@ class MultiviewTrainer:
                 loss = cfg.rgb_loss_weight * rgb_loss
                 aux = {'rgb_loss': rgb_loss, 'rgb': rb['rgb']}
                 if entropy_on:
-                    avg_bits, total_bits = lg.ent_loss(p['grid'], gcfg, noise)
+                    avg_bits, total_bits = lg.ent_loss(p['grid'], gcfg,
+                                                       noise_step)
                     loss = loss + ent_lambda * avg_bits
                     aux['ent_loss'] = ent_lambda * avg_bits
                 return loss, aux
