@@ -180,28 +180,38 @@ def _slab_tables(table, res: int, ld: int, margin: float,
         [t, jnp.zeros((1, w * w, ld * w), t.dtype)], axis=0)
 
 
-def _fold_window_axis(x, ixf, res: int):
-    """Overlap-add transpose of a window extraction: x [8*w, ...rest] with
-    static source rows ``ixf`` [8*w] -> [res, ...rest] (tiny-row scatter)."""
-    rest = x.shape[1:]
-    return jnp.zeros((res,) + rest, x.dtype).at[ixf].add(x)
+@functools.lru_cache(maxsize=None)
+def _fold_window_matrix_np(res: int, margin: float, group_res: int):
+    """Static 0/1 fold matrix F [res, group_res*w]: F[r, c*w + l] = 1 iff
+    window cell (c, l) reads table row r (r = starts[c] + l)."""
+    starts, w = _slab_starts_np(res, margin, group_res)
+    src = (starts[:, None] + np.arange(w)[None, :]).reshape(-1)
+    f = np.zeros((res, group_res * w), np.float32)
+    f[src, np.arange(group_res * w)] = 1.0
+    return f
 
 
 def _slab_grad_to_table(gslab, res: int, ld: int, margin: float,
                         group_res: int = GROUP_RES):
-    """[n_cells + 1, w*w, ld*w] slab grads -> dense table grad [res**3, ld]
-    (axis-separable overlap-add; exact f32)."""
+    """[n_cells + 1, w*w, ld*w] slab grads -> dense table grad [res**3, ld].
+
+    The axis-separable overlap-add runs as three MXU contractions with a
+    static 0/1 fold matrix (exact f32 adds) — measured several times faster
+    than scatter-add + transpose chains on this stack (the chains are
+    layout/latency-bound, not bandwidth-bound)."""
     starts, w = _slab_starts_np(res, margin, group_res)
-    ixf = jnp.asarray((starts[:, None] + np.arange(w)[None, :]).reshape(-1))
+    fm = jnp.asarray(_fold_window_matrix_np(res, margin, group_res))
+    fm = fm.reshape(res, group_res, w)
     g8 = group_res
-    g = gslab[:g8 ** 3].reshape(g8, g8, g8, w, w, ld, w)
-    # [cx, cy, cz, ly, lz, ld, lx] -> fold x, then y, then z
-    g = g.transpose(0, 6, 1, 2, 3, 4, 5).reshape(g8 * w, g8, g8, w, w, ld)
-    g = _fold_window_axis(g, ixf, res)          # [x, cy, cz, ly, lz, ld]
-    g = g.transpose(1, 3, 0, 2, 4, 5).reshape(g8 * w, res, g8, w, ld)
-    g = _fold_window_axis(g, ixf, res)          # [y, x, cz, lz, ld]
-    g = g.transpose(2, 3, 0, 1, 4).reshape(g8 * w, res, res, ld)
-    g = _fold_window_axis(g, ixf, res)          # [z, y, x, ld]
+    g = gslab[:g8 ** 3].reshape(g8, g8, g8, w, w, ld, w).astype(jnp.float32)
+    # dims: [cx, cy, cz, ly, lz, ld, lx]
+    hi = jax.lax.Precision.HIGHEST
+    g = jax.lax.dot_general(fm, g, (((1, 2), (0, 6)), ((), ())),
+                            precision=hi)       # [x, cy, cz, ly, lz, ld]
+    g = jax.lax.dot_general(fm, g, (((1, 2), (1, 3)), ((), ())),
+                            precision=hi)       # [y, x, cz, lz, ld]
+    g = jax.lax.dot_general(fm, g, (((1, 2), (2, 3)), ((), ())),
+                            precision=hi)       # [z, y, x, ld]
     return g.reshape(res ** 3, ld)
 
 
@@ -471,18 +481,18 @@ def _lod_gather(ent, psel, p3, wgt, tab, E, NP, C, B, LD, dtype,
         leave 7/8 of the MXU idle.
 
     ent/psel/wgt: [C, B] refs' loaded blocks; p3: per-axis page-slot
-    coords (3 x [C, B], slot = (px*4 + py)*4 + pz); tab: [E, LD*NP]
-    resident window (swap=False) or [LD*E, NP] (swap=True); page
-    neighborhood or dense slab.  Returns [LD, B] f32.
+    coords (3 x [C, B], slot = (px*4 + py)*4 + pz; unused, kept for probe
+    variants); tab: slot-major [NP, LD*E] resident window (lanes (d, e);
+    swap=False) or [LD*E, NP] (swap=True).  Returns [LD, B] f32.
     """
     cb = C * B
     ent = ent.reshape(cb)                                 # corner-major
     wgt = wgt.reshape(cb)
+    psel = psel.reshape(cb)
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (E, cb), 0)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
     accs = []
     if swap:
-        psel = psel.reshape(cb)
-        p_iota = jax.lax.broadcasted_iota(jnp.int32, (NP, cb), 0)
         m = (psel[None, :] == p_iota).astype(dtype)       # [NP, C*B]
         g = jax.lax.dot_general(tab.astype(dtype), m,
                                 (((1,), (0,)), ((), ())),
@@ -494,18 +504,20 @@ def _lod_gather(ent, psel, p3, wgt, tab, E, NP, C, B, LD, dtype,
             accs.append(jnp.sum((wgt * sel).reshape(C, B), axis=0))
     else:
         a = (ent[None, :] == e_iota).astype(dtype)        # [E, C*B]
-        g = jax.lax.dot_general(tab.astype(dtype), a,
-                                (((0,), (0,)), ((), ())),
+        # [LD*NP, E] rows (d-major) from the slot-major window's d-lanes
+        rows = jnp.concatenate(
+            [tab[:, d * E:(d + 1) * E] for d in range(LD)], axis=0)
+        g = jax.lax.dot_general(rows.astype(dtype), a,
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_dot_precision(dtype))  # [LD*NP, cb]
-        q_iota = jax.lax.broadcasted_iota(jnp.int32, (NEIGH, cb), 0)
-        m3 = [(p.reshape(cb)[None, :] == q_iota).astype(jnp.float32)
-              for p in p3]                                # 3 x [4, C*B]
+        # NOTE: a separable per-axis select (three 4-way selects over a
+        # [4, 4, 4, cb] view) is fewer VPU ops on paper but compiles
+        # catastrophically in Mosaic (4D relayouts; fwd 10.8 -> 25.2 ms,
+        # 13-min compile).  Keep the flat [NP, cb] one-hot select.
+        m = (psel[None, :] == p_iota).astype(jnp.float32)  # [NP, C*B]
         for d in range(LD):
-            gd = g[d * NP:(d + 1) * NP, :].reshape(NEIGH, NEIGH, NEIGH, cb)
-            t = jnp.sum(gd * m3[2][None, None, :, :], axis=2)   # [4, 4, cb]
-            t = jnp.sum(t * m3[1][None, :, :], axis=1)          # [4, cb]
-            sel = jnp.sum(t * m3[0], axis=0)                    # [cb]
+            sel = jnp.sum(g[d * NP:(d + 1) * NP, :] * m, axis=0)
             accs.append(jnp.sum((wgt * sel).reshape(C, B), axis=0))
     return jnp.stack(accs)                                # [LD, B]
 
@@ -513,8 +525,9 @@ def _lod_gather(ent, psel, p3, wgt, tab, E, NP, C, B, LD, dtype,
 def _lod_scatter(ent, psel, wgt, gl, E, NP, C, B, LD, dtype,
                  swap: bool = False):
     """One LOD's block backward; MXU contraction over C*B either way.
-    gl: [LD, B] output grad.  Returns the window grad — [E, LD*NP] f32
-    (swap=False) or [LD*E, NP] (swap=True), matching the fwd layouts."""
+    gl: [LD, B] output grad.  Returns the window grad — slot-major
+    [NP, LD*E] f32 (lanes (d, e); swap=False) or [LD*E, NP] (swap=True),
+    matching the fwd layouts."""
     cb = C * B
     ent = ent.reshape(cb)
     psel = psel.reshape(cb)
@@ -539,9 +552,13 @@ def _lod_scatter(ent, psel, wgt, gl, E, NP, C, B, LD, dtype,
         gd = (jnp.broadcast_to(gl[d][None, :], (C, B)).reshape(cb) * wgt)
         rows.append(m * gd[None, :])                      # [NP, C*B]
     dg = jnp.concatenate(rows, axis=0).astype(dtype)      # [LD*NP, C*B]
-    return jax.lax.dot_general(a, dg, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=_dot_precision(dtype))
+    g2 = jax.lax.dot_general(dg, a, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_dot_precision(dtype))  # [LD*NP, E]
+    if LD == 1:
+        return g2
+    return jnp.concatenate([g2[d * NP:(d + 1) * NP] for d in range(LD)],
+                           axis=1)                        # [NP, LD*E]
 
 
 def _lod_gather_direct_folded(by, bz, mx, slab, w: int, LD: int, dtype):
@@ -641,7 +658,7 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
             for pi, res in enumerate(RES_P):
                 ent, psel, p3, wgt = _kernel_paged_corners(coords3, c3, res,
                                                            E, PR)
-                nw = LD * N_NEIGH if not SWAP else N_NEIGH
+                nw = N_NEIGH if SWAP else LD * E
                 tab = (neigh[0, :, pi * nw:(pi + 1) * nw])
                 out_ref[0, li, :, sl] = _lod_gather(
                     ent, psel, p3, wgt, tab,
@@ -690,7 +707,7 @@ def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
             for pi, res in enumerate(RES_P):
                 ent, psel, _, wgt = _kernel_paged_corners(coords3, c3, res,
                                                           E, PR)
-                nw = LD * N_NEIGH if not SWAP else N_NEIGH
+                nw = N_NEIGH if SWAP else LD * E
                 outs[1 if WS else 0][0, :, pi * nw:(pi + 1) * nw] += (
                     _lod_scatter(
                         ent, psel, wgt, g_ref[0, li, :, sl],
@@ -704,7 +721,8 @@ def _neigh_table(table, e: int, ld: int, page_res: int = PAGE_RES,
     """[cs, ld] table -> per-grouping-cell page neighborhoods in kernel
     layout: [n_cells+1, E, LD*64] (col = l*64 + slot; swap=False) or
     [n_cells+1, LD*E, 64] (row = l*E + entry; swap=True).  ``dtype`` casts
-    before the 8x page duplication (see _slab_tables)."""
+    before the 8x page duplication (see _slab_tables).  swap-mode only —
+    the production path uses :func:`_neigh_tables_slot_major`."""
     if dtype is not None:
         table = table.astype(dtype)
     nc = n_cells_of(page_res)
@@ -718,6 +736,38 @@ def _neigh_table(table, e: int, ld: int, page_res: int = PAGE_RES,
     if swap:
         return neigh.transpose(0, 3, 2, 1).reshape(nc + 1, ld * e, N_NEIGH)
     return neigh.transpose(0, 2, 3, 1).reshape(nc + 1, e, ld * N_NEIGH)
+
+
+def _neigh_tables_slot_major(z, spec, lods_p, e: int, ld: int,
+                             page_res: int = PAGE_RES, dtype=None):
+    """All paged LODs' neighborhoods in slot-major layout
+    [n_cells+1, 64, LP*LD*E] (lane order (lod, d, entry)).
+
+    Slot-major is the gather's natural output order — the per-cell page
+    windows come straight out of one jnp.take with NO [cells*64, e] ->
+    [cells, e, 64] transpose (a measured multi-ms slice at lego shapes:
+    the duplicated windows are ~8x the table).  The kernels contract
+    [64, E] x [E, cb] directly, same MXU pass count."""
+    p = paged_params(spec.resolutions[lods_p[0]], spec.codebook_size,
+                     spec.dim, page_res)[0]
+    tabs = []
+    for lod in lods_p:
+        t = _lod_table(z, spec, lod).reshape(p, e, ld)
+        if ld > 1:
+            t = t.transpose(0, 2, 1)                     # [p, ld, e]
+        tabs.append(t.reshape(p, ld * e))
+    stacked = jnp.concatenate(tabs, axis=-1)             # [p, LP*LD*E]
+    if dtype is not None:
+        stacked = stacked.astype(dtype)
+    stacked = jnp.concatenate(
+        [stacked, jnp.zeros((1,) + stacked.shape[1:], stacked.dtype)],
+        axis=0)
+    nc = n_cells_of(page_res)
+    ncell = jnp.asarray(_neighbor_pages_np(3, page_res))  # [nc, 64]
+    ncell = jnp.concatenate(
+        [ncell, jnp.full((1, N_NEIGH), p, jnp.int32)], axis=0)
+    neigh = jnp.take(stacked, ncell.reshape(-1), axis=0)
+    return neigh.reshape(nc + 1, N_NEIGH, stacked.shape[-1])
 
 
 def _fold_page_axis(x, group_res: int = GROUP_RES):
@@ -736,6 +786,43 @@ def _fold_page_axis(x, group_res: int = GROUP_RES):
     lo = (ext[0] + ext[1])[None]                          # pages clip at 0
     hi = (ext[2 * g] + ext[2 * g + 1])[None]              # ... and at 2g-1
     return jnp.concatenate([lo, ext[2:2 * g], hi], axis=0)   # [2g, ...]
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_page_matrix_np(page_res: int):
+    """Static 0/1 fold matrix F [P, g, 4]: F[p, c, o] = 1 iff neighborhood
+    offset o of grouping cell c lands on page p (p = clip(2c-1+o, 0, P-1))."""
+    g = page_res // 2
+    f = np.zeros((page_res, g, 4), np.float32)
+    for c in range(g):
+        for o in range(4):
+            p = min(max(2 * c - 1 + o, 0), page_res - 1)
+            f[p, c, o] = 1.0
+    return f
+
+
+def _pages_from_cells_dot(partials, e: int, ld: int, lp: int,
+                          page_res: int = PAGE_RES):
+    """Slot-major per-cell partials [nc, 64, lp*ld*e] -> per-page grads
+    [lp, P**3*e, ld].
+
+    The per-axis overlap-add runs as three MXU contractions against a
+    static 0/1 fold matrix (exact f32 adds, no explicit transposes) — the
+    scatter-add + transpose chain this replaces was the single largest
+    backward slice at lego shapes (~8 ms)."""
+    g = page_res // 2
+    fm = jnp.asarray(_fold_page_matrix_np(page_res))      # [P, g, 4]
+    x = partials.reshape(g, g, g, 4, 4, 4, lp, ld, e).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    # dims [cx, cy, cz, i, j, k, lp, ld, e]
+    x = jax.lax.dot_general(fm, x, (((1, 2), (2, 5)), ((), ())),
+                            precision=hi)   # [pz, cx, cy, i, j, lp, ld, e]
+    x = jax.lax.dot_general(fm, x, (((1, 2), (2, 4)), ((), ())),
+                            precision=hi)   # [py, pz, cx, i, lp, ld, e]
+    x = jax.lax.dot_general(fm, x, (((1, 2), (2, 3)), ((), ())),
+                            precision=hi)   # [px, py, pz, lp, ld, e]
+    x = x.transpose(3, 0, 1, 2, 5, 4)       # [lp, px, py, pz, e, ld]
+    return x.reshape(lp, page_res ** 3 * e, ld)
 
 
 def _pages_from_cells(partials, e: int, ld: int, lp: int,
@@ -920,13 +1007,18 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
                                       lambda i, bc: (bc[i], 0, 0))]
     if lods_p:
         e = karg['E']
-        neigh = jnp.concatenate(
-            [_neigh_table(_lod_table(z, spec, lod), e, ld,
-                          static.page_res, static.swap, dtype=static.dtype)
-             for lod in lods_p], axis=-1)
+        if static.swap:
+            neigh = jnp.concatenate(
+                [_neigh_table(_lod_table(z, spec, lod), e, ld,
+                              static.page_res, True, dtype=static.dtype)
+                 for lod in lods_p], axis=-1)
+            nshape = (ld * e, len(lods_p) * N_NEIGH)
+        else:
+            neigh = _neigh_tables_slot_major(z, spec, lods_p, e, ld,
+                                             static.page_res,
+                                             dtype=static.dtype)
+            nshape = (N_NEIGH, len(lods_p) * ld * e)
         ins += [neigh]
-        nshape = ((ld * e, len(lods_p) * N_NEIGH) if static.swap
-                  else (e, len(lods_p) * ld * N_NEIGH))
         if _os.environ.get('SHACIRA_PROBE_FIXED_NEIGH'):  # probe-only
             in_specs += [pl.BlockSpec((1,) + nshape,
                                       lambda i, bc: (0, 0, 0))]
@@ -997,7 +1089,7 @@ def _paged_bwd(static, saved, g):
                                       lambda i, bc: (bc[i], 0, 0)))
     if lods_p:
         nshape = ((ld * e, len(lods_p) * N_NEIGH) if static.swap
-                  else (e, len(lods_p) * ld * N_NEIGH))
+                  else (N_NEIGH, len(lods_p) * ld * e))
         out_shapes.append(jax.ShapeDtypeStruct(
             (nc + 1,) + nshape, jnp.float32))
         out_specs.append(pl.BlockSpec((1,) + nshape,
@@ -1028,8 +1120,7 @@ def _paged_bwd(static, saved, g):
     pieces = {}
     if lods_d:
         offs, _, _ = _slab_pack_meta(ws, ld)
-        ps = jnp.where(mask[:, None, None], partials[0],
-                       0.0).astype(static.dtype)
+        ps = jnp.where(mask[:, None, None], partials[0], 0.0)
         for di, lod in enumerate(lods_d):
             w = ws[di]
             pd = ps[:, 0:w * w, offs[di]:offs[di] + ld * w]
@@ -1039,15 +1130,15 @@ def _paged_bwd(static, saved, g):
     if lods_p:
         lp = len(lods_p)
         pp = jnp.where(mask[:, None, None], partials[1 if lods_d else 0],
-                       0.0).astype(static.dtype)
+                       0.0)
         if static.swap:                 # [nc+1, ld*e, lp*64]
             pp = pp[:nc].reshape(nc, ld * e, lp, N_NEIGH)
             pp = pp.transpose(0, 2, 1, 3)
-        else:                           # [nc+1, e, lp*ld*64]
-            pp = pp[:nc].reshape(nc, e, lp, ld * N_NEIGH)
-            pp = pp.transpose(0, 2, 1, 3)
-        tables = _pages_from_cells(pp, e, ld, lp,
-                                   static.page_res, static.swap)
+            tables = _pages_from_cells(pp, e, ld, lp,
+                                       static.page_res, True)
+        else:                           # [nc+1, 64, lp*ld*e] slot-major
+            tables = _pages_from_cells_dot(pp[:nc], e, ld, lp,
+                                           static.page_res)
         for pi, lod in enumerate(lods_p):
             pieces[lod] = tables[pi]
 

@@ -36,6 +36,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a [T, ...] table's rows across the data axis (codebook-side
+    table work: SGA/entropy/Adam on T/n rows per device)."""
+    return NamedSharding(mesh, P(DATA_AXIS, None))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -138,6 +138,22 @@ class MultiviewTrainer:
             from shacira_tpu.parallel import mesh as pmesh
             for attr in ('params', 'opt_state', 'noise', 'occ_state'):
                 setattr(self, attr, pmesh.replicate(mesh, getattr(self, attr)))
+            # codebook-side table work is sharded across the data axis
+            # (VERDICT r2 #3): the Adam moments of the codebook live
+            # row-sharded (ZeRO-style), so the moment updates touch
+            # table/n rows per device; params stay replicated (the encode
+            # gathers arbitrary rows) via one all-gather of the update.
+            if self.params['grid']['codebook'].shape[0] % mesh.size == 0:
+                self.shard_table_work = True
+                rows = pmesh.row_sharding(mesh)
+                for tree in (self.opt_state.mu, self.opt_state.nu):
+                    tree['grid']['codebook'] = jax.device_put(
+                        tree['grid']['codebook'], rows)
+                self.noise = jax.device_put(self.noise, rows)
+            else:
+                self.shard_table_work = False
+        else:
+            self.shard_table_work = False
 
         gcfg = model_cfg.grid
         self.ldecode_enabled = gcfg.ldec is not None
@@ -199,6 +215,15 @@ class MultiviewTrainer:
         entropy_on = self.entropy_enabled
         dist_min, dist_max = self.dataset.dist_min, self.dataset.dist_max
 
+        mesh = self.mesh
+        shard_rows = None
+        if self.shard_table_work:
+            from shacira_tpu.parallel import mesh as pmesh
+            rows_sh = pmesh.row_sharding(mesh)
+
+            def shard_rows(x):
+                return jax.lax.with_sharding_constraint(x, rows_sh)
+
         def step(params, opt_state, noise, occ_state, rays_o, rays_d, gt, rng,
                  ent_lambda, temperature, lr_ldec, refresh_noise, lod_mask):
             k_sga, k_noise, k_march = jax.random.split(rng, 3)
@@ -210,6 +235,10 @@ class MultiviewTrainer:
             k_march = step_key(k_march, cfg.rng_impl)
             noise_step = noise
             if entropy_on:
+                if shard_rows is not None:
+                    # table-wide noise/entropy math runs on T/n rows per
+                    # device (the scalar rate loss psums)
+                    noise = shard_rows(noise)
                 if cfg.noise_freq == 1:
                     # refresh-every-step configs (lego): draw inline and
                     # leave the carried array untouched — regenerating via
@@ -225,6 +254,8 @@ class MultiviewTrainer:
                         lambda n: jax.random.uniform(k_noise, n.shape) - 0.5,
                         lambda n: n, noise)
                     noise_step = noise
+                if shard_rows is not None:
+                    noise_step = shard_rows(noise_step)
 
             rays = make_rays(rays_o, rays_d, dist_min, dist_max)
 
@@ -234,6 +265,11 @@ class MultiviewTrainer:
                 if lg.supports_affine_fusion(gcfg):
                     parts = lg.affine_parts(p['grid'], gcfg, use_sga=use_sga,
                                             temperature=temperature, rng=k_sga)
+                    if shard_rows is not None:
+                        # the SGA quantize of the full table runs on T/n
+                        # rows per device; consumers (encode windows)
+                        # all-gather the quantized rows once
+                        parts = (shard_rows(parts[0]),) + parts[1:]
 
                     def field_fn(coords, dirs):
                         return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
@@ -305,6 +341,12 @@ class MultiviewTrainer:
                    'rest': jnp.asarray(cfg.lr, jnp.float32)}
             params, opt_state = optim.adam_update(
                 grads, opt_state, params, labels, lrs, wd, decoupled=decoupled)
+            # NOTE: with the moments row-sharded GSPMD keeps the codebook
+            # itself row-sharded in the scan carry (ZeRO-3 style) and
+            # inserts one all-gather per step in front of the encode's
+            # window builds — grads then reduce-scatter instead of
+            # all-reduce.  Consumers outside the step re-replicate
+            # (train() does on exit).
             metrics = {'loss': loss, 'rgb_loss': aux['rgb_loss'],
                        'psnr': float_psnr(aux['rgb'], gt)}
             return params, opt_state, noise, metrics
@@ -589,6 +631,13 @@ class MultiviewTrainer:
                 if log_fn:
                     log_fn(entry)
             self._post_chunk(log_fn)
+        if self.shard_table_work:
+            # with row-sharded moments GSPMD keeps the codebook row-sharded
+            # in the scan carry; re-replicate for downstream consumers
+            # (validation/eval render paths, checkpoints)
+            from shacira_tpu.parallel import mesh as pmesh
+            self.params['grid']['codebook'] = jax.device_put(
+                self.params['grid']['codebook'], pmesh.replicated(self.mesh))
         return {'iterations': self.iteration,
                 'elapsed': time.time() - t0}
 

@@ -90,3 +90,52 @@ def test_device_sampled_training_under_mesh():
     assert t8.params['grid']['codebook'].sharding.is_fully_replicated
     sharded = np.asarray(t8.params['grid']['codebook'])
     np.testing.assert_allclose(single, sharded, rtol=5e-3, atol=5e-3)
+
+
+def test_nerf_sharded_table_work_matches_single_device():
+    """NeRF data-parallel step with SHARDED codebook-side table work: the
+    SGA quantize / rate-loss / Adam moments of the latent table run on T/n
+    rows per device (opt-state moments row-sharded, table intermediates
+    constrained to the data axis) and must reproduce single-device params."""
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_nerf import synthetic_scene
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.tracers import rf_tracer
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+
+    def setup(mesh):
+        data = synthetic_scene(num_views=8, res=16)
+        grid = LatentGridConfig.from_geometric(
+            feature_dim=2, num_lods=3, min_grid_res=8, max_grid_res=32,
+            latent_dim=1, multiscale_type='cat', resolution_dim=3,
+            feature_std=0.02, codebook_bitwidth=9, init_grid='normal',
+            num_prob_layers=1, entropy_enabled=True,
+        ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                         ldec_std=0.1, use_sga=True, diff_sampling=True))
+        mcfg = NeuralRadianceFieldConfig(
+            grid=grid, hidden_dim=16, num_layers=1,
+            view_embedder='positional', view_multires=2, blas_level=4)
+        tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=32,
+                                        bg_color='white')
+        cfg = MultiviewTrainerConfig(epochs=10, prune_every=-1,
+                                     chunk_size=10, use_sga=True,
+                                     temperature=0.5, entropy_reg=1e-4,
+                                     entropy_reg_end=1e-4)
+        return MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=64,
+                                seed=0, mesh=mesh)
+
+    t1 = setup(None)
+    t1.train(num_iterations=40)
+    single = np.asarray(t1.params['grid']['codebook'])
+
+    t8 = setup(make_mesh())
+    assert t8.shard_table_work, 'codebook rows must divide the mesh'
+    # moments are row-sharded, params replicated
+    mu_cb = t8.opt_state.mu['grid']['codebook']
+    assert not mu_cb.sharding.is_fully_replicated
+    t8.train(num_iterations=40)
+    assert t8.params['grid']['codebook'].sharding.is_fully_replicated
+    sharded = np.asarray(t8.params['grid']['codebook'])
+    np.testing.assert_allclose(single, sharded, rtol=5e-3, atol=5e-3)

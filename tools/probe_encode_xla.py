@@ -47,10 +47,8 @@ def main():
     dt = static.dtype
 
     def neigh_all(z):
-        return jnp.concatenate(
-            [ph._neigh_table(ph._lod_table(z, spec, lod), e, ld,
-                             static.page_res, static.swap, dtype=dt)
-             for lod in pag], axis=-1)
+        return ph._neigh_tables_slot_major(z, spec, pag, e, ld,
+                                           static.page_res, dtype=dt)
 
     def slabs_all(z):
         return [ph._slab_tables(ph._lod_table(z, spec, lod),
@@ -63,12 +61,12 @@ def main():
     print(json.dumps({'probe': 'slab_tables_11lods',
                       'ms': round(timeit(jax.jit(slabs_all), z), 2)}))
 
-    pp = jnp.asarray(rng.normal(size=(nc + 1, len(pag), e, ld * 64)),
+    pp = jnp.asarray(rng.normal(size=(nc, 64, len(pag) * ld * e)),
                      jnp.float32)
 
     def pages_red(pp):
-        return ph._pages_from_cells(pp[:nc], e, ld, len(pag),
-                                    static.page_res, static.swap)
+        return ph._pages_from_cells_dot(pp, e, ld, len(pag),
+                                        static.page_res)
 
     print(json.dumps({'probe': 'pages_from_cells_13lods',
                       'ms': round(timeit(jax.jit(pages_red), pp), 2)}))
