@@ -40,7 +40,7 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
         feature_std=0.02, codebook_bitwidth=19, init_grid='normal',
         num_prob_layers=1, entropy_enabled=True,
         hash_layout='paged' if paged else 'xor',
-        page_res=32 if paged else 16,
+        page_res=16,
     ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
                      ldec_std=0.1, use_sga=True, diff_sampling=True))
     mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=128, num_layers=1,
@@ -55,7 +55,7 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
                                     seg_dilation=seg_dilation,
                                     seg_budget=seg_budget * r,
                                     eval_seg_budget=24576 * r if paged else 0,
-                                    group_seg_size=8, group_segs_per_block=16,
+                                    group_seg_size=0, group_segs_per_block=8,
                                     fine_mode='deferred' if paged else 'exact')
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  rng_impl='unsafe_rbg',
@@ -106,7 +106,7 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
         latent_dim=1, multiscale_type='cat', resolution_dim=3,
         feature_std=0.02, codebook_bitwidth=19, init_grid='normal',
         num_prob_layers=1, entropy_enabled=True, hash_layout='paged',
-        page_res=32,
+        page_res=16,
     ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
                      ldec_std=0.1, use_sga=True, diff_sampling=True))
     mcfg = NeuralRadianceFieldConfig(grid=grid, hidden_dim=128, num_layers=1,
@@ -119,7 +119,7 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                     seg_dilation=seg_dilation,
                                     seg_budget=seg_budget,
                                     eval_seg_budget=24576,
-                                    group_seg_size=8, group_segs_per_block=16,
+                                    group_seg_size=0, group_segs_per_block=8,
                                     fine_mode='deferred')
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=100, chunk_size=50,
                                  rng_impl='unsafe_rbg',
