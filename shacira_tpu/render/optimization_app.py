@@ -39,12 +39,31 @@ class OptimizationApp:
                  port: int = 8008, layers=None):
         self.trainer = trainer
         self._make_trace_fn = make_trace_fn
+        self._last_entry = {}
 
         def live_trace(rays, key):
             return make_trace_fn(trainer.params)(rays, key)
 
+        def stats():
+            # optimization-progress + object-property panels (imgui
+            # widget parity; ref widget_optimization.py)
+            opt = {k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in self._last_entry.items()}
+            obj = {}
+            mcfg = getattr(trainer, 'model_cfg', None)
+            grid = getattr(mcfg, 'grid', None) if mcfg else None
+            if grid is not None:
+                obj['grid'] = type(grid).__name__
+                obj['num_lods'] = grid.num_lods
+                obj['table_rows'] = grid.spec.total_size
+                obj['hash_layout'] = getattr(grid, 'hash_layout', 'xor')
+            # occupancy arrives via the training log entries ('occupancy'
+            # key) — computing it here would run an eager reduction per
+            # poll (~0.6 s each through the TPU relay)
+            return {'optimization': opt, 'object': obj}
+
         self.server = ViewerServer(live_trace, camera, port=port,
-                                   layers=layers)
+                                   layers=layers, stats_fn=stats)
         self._train_err = None
 
     @classmethod
@@ -86,9 +105,14 @@ class OptimizationApp:
         self.server.start_background()
 
         def work():
+            def capture(entry):
+                self._last_entry = dict(entry)
+                if log_fn:
+                    log_fn(entry)
+
             try:
                 self.trainer.train(num_iterations=num_iterations,
-                                   log_fn=log_fn)
+                                   log_fn=capture)
             except Exception as e:          # surface on join
                 self._train_err = e
 

@@ -40,7 +40,11 @@ _PAGE = """<!DOCTYPE html>
  #bar{text-align:center;margin:6px}
  select,label{background:#222;color:#eee;border:1px solid #444}
 </style></head><body>
+<div style="display:flex;justify-content:center;align-items:flex-start">
 <img id="v" width="__W__" height="__H__"/>
+<div id="panel" style="margin:12px;min-width:260px;max-width:320px;
+ font-size:12px;border:1px solid #444;padding:8px"></div>
+</div>
 <div id="bar">
  mode <select id="mode"><option>turntable</option><option>trackball</option>
  <option>first-person</option></select>
@@ -49,6 +53,23 @@ _PAGE = """<!DOCTYPE html>
  <label><input type="checkbox" id="layers"/>layers</label>
  <span id="s">drag orbit &middot; shift/right-drag pan &middot; wheel zoom &middot; WASDQE fly</span>
 </div>
+<script>
+// stat panels (imgui widget parity: optimization progress / object
+// properties / device stats, ref wisp/renderer/gui/imgui/)
+async function pollStats(){
+  try{
+    const r = await fetch('/stats'); const s = await r.json();
+    let html='';
+    for(const [group, rows] of Object.entries(s)){
+      html+='<div style="color:#8cf;margin-top:6px">'+group+'</div>';
+      for(const [k,v] of Object.entries(rows))
+        html+='<div><span style="color:#999">'+k+'</span> '+v+'</div>';
+    }
+    document.getElementById('panel').innerHTML=html;
+  }catch(e){}
+}
+setInterval(pollStats, 1000); pollStats();
+</script>
 <script>
 let az=0.8, el=0.4, radius=3.0, t=[0,0,0], o=[0,0,0], busy=false, dirty=true;
 let moving=false, restTimer=null;
@@ -135,11 +156,14 @@ class ViewerServer:
     def __init__(self, trace_fn,
                  camera: CameraConfig = CameraConfig(width=256, height=256),
                  port: int = 8008,
-                 layers: Optional[Dict[str, object]] = None):
+                 layers: Optional[Dict[str, object]] = None,
+                 stats_fn=None):
         self.trace_fn = trace_fn
         self.camera = camera
         self.port = port
         self.layers = layers or {}
+        self.stats_fn = stats_fn        # () -> {group: {key: value}}
+        self._frame_ms = 0.0
         self._lock = threading.Lock()
         viewer = self
 
@@ -178,6 +202,12 @@ class ViewerServer:
                     self.send_header('Content-Type', 'image/jpeg')
                     self.end_headers()
                     self.wfile.write(data)
+                elif url.path == '/stats':
+                    import json as _json
+                    self.send_response(200)
+                    self.send_header('Content-Type', 'application/json')
+                    self.end_headers()
+                    self.wfile.write(_json.dumps(viewer.stats()).encode())
                 else:
                     self.send_response(404)
                     self.end_headers()
@@ -186,10 +216,40 @@ class ViewerServer:
         self._server = None
 
     # ------------------------------------------------------------------
+    def stats(self) -> dict:
+        """Grouped stat panels — the imgui widget-panel equivalent
+        (optimization progress / object properties via ``stats_fn``;
+        renderer + device stats built in; ref
+        wisp/renderer/gui/imgui/widget_optimization.py, widget_gpu_stats.py).
+        """
+        out = {}
+        if self.stats_fn is not None:
+            try:
+                out.update(self.stats_fn())
+            except Exception as e:           # panel must not kill the server
+                out['optimization'] = {'error': str(e)}
+        rend = {'frame_ms': round(self._frame_ms, 1),
+                'resolution': f'{self.camera.width}x{self.camera.height}'}
+        try:
+            import jax
+            dev = jax.local_devices()[0]
+            rend['device'] = f'{dev.platform}:{dev.id}'
+            mem = dev.memory_stats() or {}
+            if 'bytes_in_use' in mem:
+                rend['mem_in_use_mb'] = round(mem['bytes_in_use'] / 1e6, 1)
+            if 'peak_bytes_in_use' in mem:
+                rend['mem_peak_mb'] = round(
+                    mem['peak_bytes_in_use'] / 1e6, 1)
+        except Exception:
+            pass
+        out['renderer'] = rend
+        return out
+
     def render_frame_at(self, origin, target, scale: float = 1.0,
                         with_layers: bool = False) -> np.ndarray:
         """Render a frame for an arbitrary lookat camera.  ``scale`` < 1
         renders at reduced resolution (the interactive-quality knob)."""
+        import time as _time
         cam = self.camera
         if scale < 1.0:
             cam = CameraConfig(
@@ -197,8 +257,10 @@ class ViewerServer:
                 height=max(16, int(cam.height * scale)),
                 fov=cam.fov, dist_min=cam.dist_min, dist_max=cam.dist_max)
         ro, rd = lookat_rays(origin, target, cam)
+        t0 = _time.time()
         with self._lock:
             out = render_rays(self.trace_fn, ro, rd, cam)
+        self._frame_ms = (_time.time() - t0) * 1e3
         frame = out['rgb'].reshape(cam.height, cam.width, 3)
         if with_layers and self.layers:
             from shacira_tpu.render.overlay import PinholeCamera, draw_layers

@@ -118,6 +118,15 @@ def test_web_viewer_http_roundtrip():
         jpg = urllib.request.urlopen(
             'http://127.0.0.1:18923/render?theta=0&phi=0&radius=3').read()
         assert jpg[:2] == b'\xff\xd8'
+        # stat panels (imgui-widget parity): renderer group is built in,
+        # custom groups come from stats_fn
+        import json
+        v.stats_fn = lambda: {'optimization': {'epoch': 3, 'psnr': 21.5}}
+        stats = json.loads(urllib.request.urlopen(
+            'http://127.0.0.1:18923/stats').read())
+        assert stats['optimization']['epoch'] == 3
+        assert 'frame_ms' in stats['renderer']
+        assert 'resolution' in stats['renderer']
     finally:
         v.shutdown()
 
