@@ -18,6 +18,7 @@ import numpy as np
 # with SHACIRA's latent-decode/entropy overhead (~25 min total) ->
 # ~80K rays/s.  The >=3x north star is therefore ~245K rays/s/chip.
 A100_REF_RAYS_S = 80000.0
+NORTH_STAR_RAYS_S = 3.0 * A100_REF_RAYS_S   # >=3x A100 (BASELINE.md)
 
 
 def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
@@ -141,7 +142,12 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
         'metric': 'nerf_train_rays_per_s_pruned_sustained',
         'value': round(rays_s, 1),
         'unit': 'rays/s',
+        # vs_baseline compares against the A100 reference ITSELF; the
+        # north star is 3x that (vs_target below) — do not read 0.7 as
+        # '70% of target'
         'vs_baseline': round(rays_s / A100_REF_RAYS_S, 3),
+        'vs_target_3x': round(rays_s / NORTH_STAR_RAYS_S, 3),
+        'target_rays_per_s': NORTH_STAR_RAYS_S,
         'sample_budget': tr.active_tracer_cfg.max_samples,
         'eval_seg_budget': tr.active_tracer_cfg.eval_seg_budget,
         'config': 'lego workload: 24 LODs bw19 F4, ray-march 2048 steps, '
