@@ -165,11 +165,11 @@ def paged_breakdown():
     z = jax.random.normal(key, (spec.total_size, LD))
     bc = grouping['block_cell']
     enc = jax.jit(lambda cs, zz: ph.paged_interp_lods(
-        cs, slot_valid, bc, grouping['cell_used'], zz, static))
+        cs, slot_valid, bc, grouping['cell_used'], zz, None, static))
     report['paged_encode_fwd_ms'] = timeit(enc, coords_s, z) * 1e3
     enc_vg = jax.jit(jax.value_and_grad(
         lambda zz: jnp.sum(ph.paged_interp_lods(
-            coords_s, slot_valid, bc, grouping['cell_used'], zz, static))))
+            coords_s, slot_valid, bc, grouping['cell_used'], zz, None, static))))
     report['paged_encode_fwd_bwd_ms'] = timeit(enc_vg, z) * 1e3
     report['paged_slot_rows'] = int(ns)
     report['paged_lods'] = len(static.lods)

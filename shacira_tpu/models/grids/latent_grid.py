@@ -258,7 +258,7 @@ def interpolate(params, cfg: LatentGridConfig, coords, *,
 
 
 def paged_zbar(params, cfg: LatentGridConfig, coords, grouping,
-               seg_size: int, *, affine):
+               seg_size: int, *, affine, occ_slab=None, occ_res: int = 0):
     """Block-local latent interpolation on segment-ordered rows.
 
     Every kernel-eligible LOD — paged hashed LODs via page neighborhoods
@@ -282,9 +282,12 @@ def paged_zbar(params, cfg: LatentGridConfig, coords, grouping,
     coords_s = coords_s.reshape(n_slotseg * seg_size, 3)
     slot_valid = jnp.repeat(sv_seg, seg_size)
     static = ph.default_static(spec, include_direct=True)
+    if occ_slab is not None and occ_res > 0:
+        from dataclasses import replace as _replace
+        static = _replace(static, occ_res=occ_res)
     zbar_s = ph.paged_interp_lods(coords_s, slot_valid, grouping['block_cell'],
-                                  grouping['cell_used'], z, static)
-    lk, ld = len(static.all_lods), z.shape[-1]
+                                  grouping['cell_used'], z, occ_slab, static)
+    lk, ld = len(static.all_lods) + (1 if static.occ_res else 0), z.shape[-1]
     zbar_rows = ph.permute_rows(
         zbar_s.reshape(n_slotseg, seg_size * lk * ld),
         grouping['seg_to_slotseg'], s2s, k2)

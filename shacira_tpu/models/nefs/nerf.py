@@ -123,11 +123,13 @@ def nerf_feats(params, cfg: NeuralRadianceFieldConfig, coords, *,
 
 
 def nerf_zbar(params, cfg: NeuralRadianceFieldConfig, coords, grouping,
-              seg_size: int, *, affine):
+              seg_size: int, *, affine, occ_slab=None, occ_res: int = 0):
     """Paged-LOD latents on segment-ordered rows (deferred-direct split,
-    stage 1 — see latent_grid.paged_zbar).  Returns [N, Lp*ld] flat."""
+    stage 1 — see latent_grid.paged_zbar).  Returns [N, Lp*ld] flat; with
+    ``occ_slab`` the last ld-wide column block is the in-kernel fine
+    occupancy row ({0., 1.}; split it off before decoding)."""
     zb = lg.paged_zbar(params['grid'], cfg.grid, coords, grouping, seg_size,
-                       affine=affine)
+                       affine=affine, occ_slab=occ_slab, occ_res=occ_res)
     return zb.reshape(zb.shape[0], -1)
 
 
@@ -246,7 +248,7 @@ def _prune_density_paged(params, cfg: NeuralRadianceFieldConfig, rng):
     static = ph.default_static(cfg.grid.spec, include_direct=True)
     zbar = ph.paged_interp_lods(
         pts, jnp.ones((n,), bool), jnp.asarray(block_cell),
-        jnp.ones((gr ** 3,), bool), parts[0], static)
+        jnp.ones((gr ** 3,), bool), parts[0], None, static)
     feats = lg.paged_finish(params['grid'], cfg.grid, zbar, pts,
                             affine=parts)
     _, density = nerf_head(params, cfg, feats, jnp.zeros_like(pts))

@@ -344,6 +344,114 @@ def _kernel_direct_folded(coords3, c3, res: int, starts, w: int,
 
 
 # ---------------------------------------------------------------------------
+# In-kernel fine occupancy (a bit-packed pseudo-LOD)
+#
+# The per-sample fine occupancy query is gather-latency-bound in XLA
+# (~5 ms at lego eval shapes).  The paged kernels already hold every
+# sample's coords, so occupancy rides them as one more block-local window:
+# occupancy bits packed 8-per-byte along z, sliced into per-grouping-cell
+# subboxes (rows = (x, z-byte), lanes = y), NEAREST-selected with one-hot
+# factors (same folded machinery as the direct LODs, without the +1 corner
+# or weights), and the bit extracted with exact power-of-two arithmetic.
+# The slab depends only on the occupancy grid, so trainers build it once
+# per prune.
+# ---------------------------------------------------------------------------
+
+def occ_slab_width(res: int, margin: float = DIRECT_MARGIN,
+                   group_res: int = GROUP_RES):
+    """(cell-window width w, z-byte window width wb) of the occupancy slab.
+
+    Unlike interpolated LODs there is no +1 corner: the query touches only
+    the sample's own cell, so the width drops the corner straddle (+1
+    stays for the floor straddle)."""
+    w = min(int(np.ceil(res * (1.0 / group_res + 2.0 * margin))) + 1, res)
+    return w, (w + 6) // 8 + 1
+
+
+def occ_slab_tables(occ, margin: float = DIRECT_MARGIN,
+                    group_res: int = GROUP_RES, dtype=jnp.float32):
+    """Occupancy grid [res, res, res] bool (layout [x, y, z], the
+    accel.occupancy convention) -> per-grouping-cell bit-packed slabs
+    [n_cells + 1, w*wb, w] (row = lx*wb + lzb, lane = ly; byte value =
+    sum_k occ[..., 8*zb+k] << k).  Built once per prune."""
+    res = occ.shape[0]
+    w, wb = occ_slab_width(res, margin, group_res)
+    resb = res // 8
+    powers = jnp.asarray(2.0 ** np.arange(8), jnp.float32)
+    occb = (occ.reshape(res, res, resb, 8).astype(jnp.float32)
+            * powers).sum(-1)                            # [x, y, zb]
+    # z-byte window can poke one byte past resb at the largest starts
+    occb = jnp.concatenate(
+        [occb, jnp.zeros((res, res, 1), jnp.float32)], axis=-1)
+    # cell-window starts with the occupancy width (clip range differs
+    # from the interpolation slabs')
+    c = np.arange(group_res)
+    lo = np.floor((c / group_res - margin) * res).astype(np.int64)
+    st = np.clip(lo, 0, res - w).astype(np.int32)
+    ix = jnp.asarray(st[:, None] + np.arange(w)[None, :])      # [g, w]
+    izb = jnp.asarray((st >> 3)[:, None] + np.arange(wb)[None, :])  # [g, wb]
+    g8 = group_res
+    t = jnp.take(occb, ix.reshape(-1), axis=0).reshape(g8, w, res, resb + 1)
+    t = jnp.take(t, ix.reshape(-1), axis=2).reshape(g8, w, g8, w, resb + 1)
+    t = jnp.take(t, izb.reshape(-1), axis=4).reshape(g8, w, g8, w, g8, wb)
+    # [cx, lx, cy, ly, cz, lzb] -> [cx, cy, cz, lx, lzb, ly]
+    t = t.transpose(0, 2, 4, 1, 5, 3).reshape(g8 ** 3, w * wb, w)
+    t = jnp.concatenate([t, jnp.zeros((1, w * wb, w), t.dtype)], axis=0)
+    return t.astype(dtype)
+
+
+def _kernel_occ_starts(c3, res: int, w: int, g: int, margin: float):
+    """Scalar occupancy-window starts (cell space) per axis; mirrors the
+    host starts in occ_slab_tables (same floor formula, clip to res-w)."""
+    outs = []
+    m32 = margin * 32
+    assert 32 % g == 0 and abs(m32 - round(m32)) < 1e-9, \
+        'occupancy slab needs a dyadic margin'
+    for d in range(3):
+        st = ((c3[d] * (32 // g) - int(round(m32))) * res) // 32
+        outs.append(jnp.clip(st, 0, res - w))
+    return outs
+
+
+def _kernel_occ_query(coords3, c3, slab, res: int, w: int, wb: int,
+                      g: int, margin: float, dtype):
+    """In-kernel per-sample fine occupancy (see module section above).
+
+    Must match accel.occupancy.query bit-for-bit: cell =
+    floor(clip((c*0.5+0.5)*res, 0, res-1e-5)), AND inside the unit cube.
+    Returns [B] f32 in {0., 1.}."""
+    b = coords3[0].shape[0]
+    pos, inside = [], None
+    for d in range(3):
+        x = jnp.clip((coords3[d] * 0.5 + 0.5) * res, 0.0, res - 1e-5)
+        pos.append(jnp.floor(x).astype(jnp.int32))
+        ok = (coords3[d] >= -1.0) & (coords3[d] <= 1.0)
+        inside = ok if inside is None else (inside & ok)
+    st = _kernel_occ_starts(c3, res, w, g, margin)
+    lx = jnp.clip(pos[0] - st[0], 0, w - 1)
+    ly = jnp.clip(pos[1] - st[1], 0, w - 1)
+    lzb = jnp.clip((pos[2] >> 3) - (st[2] >> 3), 0, wb - 1)
+    bit = pos[2] & 7
+    iw = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+    iwb = jax.lax.broadcasted_iota(jnp.int32, (wb, b), 0)
+    bx = (iw == lx[None, :]).astype(jnp.float32)          # [w, B]
+    bzb = (iwb == lzb[None, :]).astype(jnp.float32)       # [wb, B]
+    my = (iw == ly[None, :]).astype(jnp.float32)          # [w, B]
+    bmat = (bx[:, None, :] * bzb[None, :, :]).reshape(w * wb, b)
+    v = jax.lax.dot_general(slab.astype(dtype), bmat.astype(dtype),
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_precision(dtype))   # [w(ly), B]
+    byte = jnp.sum(v * my, axis=0)                        # [B] 0..255 exact
+    # exact 2^-bit via exponent bits; byte values < 256 are exact in bf16
+    shift = jax.lax.bitcast_convert_type(
+        (jnp.int32(127) - bit) << 23, jnp.float32)
+    u = jnp.floor(byte * shift)
+    occv = u - 2.0 * jnp.floor(u * 0.5)
+    return occv * inside.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # Segment grouping
 # ---------------------------------------------------------------------------
 
@@ -612,7 +720,7 @@ def _slab_pack_meta(ws, ld: int):
 
 
 def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
-                   C, B, E, LD, dtype, GR, PR, SWAP, MARGIN):
+                   C, B, E, LD, dtype, GR, PR, SWAP, MARGIN, OCC_RES=0):
     """All block-local LODs (direct slabs + paged neighborhoods) in one grid
     pass — amortizes per-step overhead and window streaming over the whole
     LOD stack.  Corner data (entry/psel/weights) is computed in-kernel from
@@ -620,12 +728,15 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
 
     args: if WS: one packed slab ref [1, wmax², Σ ld·w] covering every
     direct LOD (_slab_pack_meta); if RES_P: packed neigh
-    [1, E, LP*LD*64] (swap: [1, LD*E, LP*64]); then out [1, Ld+LP, LD, B].
+    [1, E, LP*LD*64] (swap: [1, LD*E, LP*64]); if OCC_RES: the bit-packed
+    occupancy slab [1, w*wb, w]; then out [1, Ld+LP(+1), LD, B].
     coords_ref is [1, 3, B].  Output rows follow ascending LOD order
-    (direct LODs are the coarser prefix)."""
+    (direct LODs are the coarser prefix); the occupancy row (channel 0)
+    is last when OCC_RES."""
     it = iter(args)
     slab_pack = next(it) if WS else None
     neigh = next(it) if RES_P else None
+    occ_slab = next(it) if OCC_RES else None
     out_ref = next(it)
     offs, _, _ = _slab_pack_meta(WS, LD)
     i = pl.program_id(0)
@@ -665,6 +776,13 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
                     E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype,
                     swap=SWAP)
                 li += 1
+            if OCC_RES:
+                ow, owb = occ_slab_width(OCC_RES, MARGIN, GR)
+                occv = _kernel_occ_query(
+                    coords3, c3, occ_slab[0], OCC_RES, ow, owb, GR, MARGIN,
+                    dtype)
+                out_ref[0, li, :, sl] = jnp.broadcast_to(
+                    occv[None, :], (LD, hb))
 
 
 def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
@@ -868,6 +986,8 @@ class PagedStatic:
     use_bf16: bool = True
     margin: float = DIRECT_MARGIN
     force_swap: bool = None   # None = auto (small E); probing/debug knob
+    occ_res: int = 0          # >0: in-kernel fine-occupancy row (pass the
+                              # matching occ_slab to paged_interp_lods)
 
     @property
     def all_lods(self):
@@ -920,9 +1040,9 @@ def default_static(spec, interpret: bool = None, use_bf16: bool = True,
                        interpret=interpret, use_bf16=use_bf16)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def paged_interp_lods(coords_s, slot_valid, block_cell, cell_used, z,
-                      static: PagedStatic):
+                      occ_slab, static: PagedStatic):
     """Interpolate the block-local LODs' latents at slotted sample coords.
 
     Covers ``static.direct_lods`` (dense tables via per-grouping-cell
@@ -936,13 +1056,17 @@ def paged_interp_lods(coords_s, slot_valid, block_cell, cell_used, z,
         cell_used: [N_CELLS] bool.
         z: [total_size, ld] full codebook (only covered LOD ranges are read;
             grads are zero elsewhere).
+        occ_slab: None, or the bit-packed occupancy slab from
+            :func:`occ_slab_tables` (with ``static.occ_res`` set): the
+            kernel then appends one occupancy row (non-differentiable,
+            values {0., 1.}) after the LOD rows.
         static: PagedStatic (spec, lod index tuples, interpret/dtype).
     Returns:
-        [NS, len(static.all_lods), ld] f32 interpolated latents in ascending
-        LOD order (invalid slots zero).
+        [NS, len(static.all_lods) (+1 with occ_slab), ld] f32 interpolated
+        latents in ascending LOD order (invalid slots zero).
     """
     return _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z,
-                           static)
+                           occ_slab, static)
 
 
 def _lod_table(z, spec, lod):
@@ -973,7 +1097,8 @@ def _kernel_static_args(static: PagedStatic):
                 MARGIN=static.margin)
 
 
-def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
+def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z,
+                    occ_slab, static):
     spec = static.spec
     nb = block_cell.shape[0]
     ns = coords_s.shape[0]
@@ -981,10 +1106,14 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
     ld = z.shape[-1]
     c = 2 ** spec.dim
     lods_d, lods_p = static.direct_lods, static.lods
+    with_occ = occ_slab is not None and static.occ_res > 0
     l_total = len(lods_d) + len(lods_p)
+    l_out = l_total + (1 if with_occ else 0)
     if l_total == 0:
-        return jnp.zeros((ns, 0, ld))
+        return jnp.zeros((ns, l_out, ld))
     karg = _kernel_static_args(static)
+    if with_occ:
+        karg['OCC_RES'] = static.occ_res
     coords_t = coords_s.reshape(nb, b, 3).transpose(0, 2, 1)  # [NB, 3, B]
 
     import os as _os
@@ -1026,6 +1155,13 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
             in_specs += [pl.BlockSpec((1,) + nshape,
                                       lambda i, bc: (bc[i], 0, 0))]
 
+    if with_occ:
+        ow, owb = occ_slab_width(static.occ_res, static.margin,
+                                 static.group_res)
+        ins += [occ_slab]
+        in_specs += [pl.BlockSpec((1, ow * owb, ow),
+                                  lambda i, bc: (bc[i], 0, 0))]
+
     out = pl.pallas_call(
         functools.partial(_gather_kernel, C=c, B=b, LD=ld,
                           dtype=static.dtype, **karg),
@@ -1033,21 +1169,22 @@ def _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z, static):
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, l_total, ld, b),
+            out_specs=pl.BlockSpec((1, l_out, ld, b),
                                    lambda i, bc: (i, 0, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, l_total, ld, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, l_out, ld, b), jnp.float32),
         interpret=static.interpret,
     )(block_cell, *ins)
 
     sv = slot_valid.reshape(nb, b).astype(jnp.float32)
     out = out * sv[:, None, None, :]
-    return out.transpose(0, 3, 1, 2).reshape(ns, l_total, ld)
+    return out.transpose(0, 3, 1, 2).reshape(ns, l_out, ld)
 
 
-def _paged_fwd(coords_s, slot_valid, block_cell, cell_used, z, static):
+def _paged_fwd(coords_s, slot_valid, block_cell, cell_used, z, occ_slab,
+               static):
     out = _paged_fwd_impl(coords_s, slot_valid, block_cell, cell_used, z,
-                          static)
+                          occ_slab, static)
     # zero-size slice keeps z's dtype as a jax-typed residual
     return out, (coords_s, slot_valid, block_cell, cell_used, z[:0])
 
@@ -1065,13 +1202,16 @@ def _paged_bwd(static, saved, g):
     l_total = len(lods_d) + len(lods_p)
     if l_total == 0:
         zeros = jnp.zeros((spec.total_size, ld), jnp.float32).astype(zdtype)
-        return None, None, None, None, zeros
+        return None, None, None, None, zeros, None
     karg = _kernel_static_args(static)
     ws, e = karg['WS'], karg['E']
     coords_t = coords_s.reshape(nb, b, 3).transpose(0, 2, 1)  # [NB, 3, B]
 
     # corner weights are recomputed unmasked in-kernel: mask the incoming
-    # grad by slot validity instead (same zero contributions)
+    # grad by slot validity instead (same zero contributions).  The
+    # occupancy row (if any) is non-differentiable: drop its cotangent.
+    l_out = g.shape[1]
+    g = g[:, :l_total, :]
     sv = slot_valid.reshape(nb, b).astype(jnp.float32)
     gl = g.reshape(nb, b, l_total, ld).transpose(0, 2, 3, 1)  # [NB, L, LD, B]
     gl = gl.astype(jnp.float32) * sv[:, None, None, :]
@@ -1149,7 +1289,7 @@ def _paged_bwd(static, saved, g):
         else:
             parts.append(jnp.zeros((spec.lod_sizes[lod], ld), jnp.float32))
     grad_z = jnp.concatenate(parts, axis=0).astype(zdtype)
-    return None, None, None, None, grad_z
+    return None, None, None, None, grad_z, None
 
 
 paged_interp_lods.defvjp(_paged_fwd, _paged_bwd)

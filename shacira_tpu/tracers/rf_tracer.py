@@ -74,7 +74,15 @@ class RFTracerConfig:
     # identically when eval_seg_budget covers the fine-live segments; under
     # budget pressure coarse-live-but-fine-empty segments can evict real
     # ones (same stride-uniform drop rule as 'exact').
-    fine_mode: str = 'exact'       # 'exact' | 'deferred'
+    # 'kernel' (paged 'ray' path, deferred-direct split only): like
+    # 'deferred', but the per-sample fine query runs INSIDE the paged
+    # encode kernels as a bit-packed occupancy pseudo-LOD
+    # (ops/paged_hash.occ_slab_tables) — no XLA gathers at all; grouping
+    # liveness uses a 1-row-per-sub-segment dilated midpoint test
+    # (occ_state['fine_dil'], built once per prune by the trainer).
+    # Same exactness caveats as 'deferred'; grouping admits slightly more
+    # blocks (dilated vs exact sub-segment liveness).
+    fine_mode: str = 'exact'       # 'exact' | 'deferred' | 'kernel'
 
 
 def integration_weights(density, deltas, mask):
@@ -454,14 +462,19 @@ def _stage2_take(seg, cfg: RFTracerConfig, fine_qfn=None):
 
 
 def _trace_paged(encode_fn, head_fn, seg2, cfg: RFTracerConfig,
-                 num_rays: int, finish_fn=None):
+                 num_rays: int, finish_fn=None, dil_qfn=None):
     """Segment-grouped paged trace over stage-2-compacted segments:
     coarse-cell grouping, paged grid encode on all segment rows, then
     row-level compaction for the MLP head and compact integration.
 
     With ``finish_fn`` (the deferred-direct split), ``encode_fn`` returns
     only the paged LODs' narrow latents and ``finish_fn(zbar_c, coords_c)``
-    completes the features on the compacted rows."""
+    completes the features on the compacted rows.
+
+    With ``dil_qfn`` (fine_mode='kernel'), ``seg2['fine']`` is only the
+    coarse liveness; grouping uses the dilated sub-segment midpoint test
+    and ``encode_fn`` returns ``(zbar, occ [N])`` — the in-kernel
+    per-sample fine occupancy — which gates the row compaction."""
     from shacira_tpu.ops import paged_hash as ph
 
     samples2, fine2, valid2 = seg2['samples'], seg2['fine'], seg2['valid']
@@ -469,6 +482,7 @@ def _trace_paged(encode_fn, head_fn, seg2, cfg: RFTracerConfig,
                                    seg2['deltas'], seg2['ray'])
     k2, g = samples2.shape[0], samples2.shape[1]
     spb = cfg.group_segs_per_block
+    occ_mode = dil_qfn is not None
 
     # group at sub-segment granularity (gss samples; see group_seg_size)
     gss = cfg.group_seg_size or g
@@ -479,28 +493,43 @@ def _trace_paged(encode_fn, head_fn, seg2, cfg: RFTracerConfig,
     # carry zero optical thickness), so drop them from the grouping too —
     # they then occupy no kernel blocks (pad-block skip) and the encode
     # cost tracks the fine-live volume, not the coarse-live one
-    fine_sub = fine2.reshape(n_sub, gss).any(axis=-1)
+    if occ_mode:
+        fine_sub = dil_qfn(sub_samples[:, gss // 2, :])
+    else:
+        fine_sub = fine2.reshape(n_sub, gss).any(axis=-1)
     valid_sub = jnp.repeat(valid2, g // gss) & fine_sub
     n_blocks = n_sub // spb + cfg.group_res ** 3
     grouping = ph.group_segments(centers01, valid_sub, spb, n_blocks,
                                  cfg.group_res)
 
-    src_idx, k_valid, inv_idx = _stride_compact(fine2.reshape(-1),
-                                                cfg.max_samples)
-    if finish_fn is not None:
-        # deferred-direct split: paged LODs encode on the segment rows
-        # (they need the grouping); the narrow zbar is compacted via a
-        # mutual-inverse permutation (gather backward), and the direct
-        # LODs encode only on the max_samples surviving rows
-        zbar = encode_fn(samples2.reshape(k2 * g, 3), grouping)
+    if occ_mode:
+        assert finish_fn is not None, \
+            "fine_mode='kernel' needs the deferred-direct encode split"
+        zbar, occ_flat = encode_fn(samples2.reshape(k2 * g, 3), grouping)
+        fine2 = (occ_flat.reshape(k2, g) > 0.5) & valid2[:, None]
+        src_idx, k_valid, inv_idx = _stride_compact(fine2.reshape(-1),
+                                                    cfg.max_samples)
         zbar_c = ph.permute_rows(zbar, src_idx, inv_idx, cfg.max_samples)
         coords_c = jnp.take(samples2.reshape(-1, 3), src_idx, axis=0)
         feats_c = finish_fn(zbar_c, coords_c)
     else:
-        feats = encode_fn(samples2.reshape(k2 * g, 3), grouping)  # [K2*G, D]
-        # feats is the only param-path input here: route its backward
-        # through a gather instead of an XLA row-scatter
-        feats_c = ph.permute_rows(feats, src_idx, inv_idx, cfg.max_samples)
+        src_idx, k_valid, inv_idx = _stride_compact(fine2.reshape(-1),
+                                                    cfg.max_samples)
+        if finish_fn is not None:
+            # deferred-direct split: paged LODs encode on the segment rows
+            # (they need the grouping); the narrow zbar is compacted via a
+            # mutual-inverse permutation (gather backward), and the direct
+            # LODs encode only on the max_samples surviving rows
+            zbar = encode_fn(samples2.reshape(k2 * g, 3), grouping)
+            zbar_c = ph.permute_rows(zbar, src_idx, inv_idx, cfg.max_samples)
+            coords_c = jnp.take(samples2.reshape(-1, 3), src_idx, axis=0)
+            feats_c = finish_fn(zbar_c, coords_c)
+        else:
+            feats = encode_fn(samples2.reshape(k2 * g, 3), grouping)
+            # feats is the only param-path input here: route its backward
+            # through a gather instead of an XLA row-scatter
+            feats_c = ph.permute_rows(feats, src_idx, inv_idx,
+                                      cfg.max_samples)
     color, density = head_fn(feats_c,
                              jnp.take(dirs2.reshape(-1, 3), src_idx, axis=0))
     return volume_integrate_compact(
@@ -565,7 +594,22 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
             and cfg.max_samples > 0):
         paged = encode_split is not None and cfg.eval_seg_budget > 0
         if paged:
-            if cfg.fine_mode == 'deferred':
+            dil_qfn = None
+            if cfg.fine_mode == 'kernel':
+                # the real per-sample fine mask comes out of the encode
+                # kernels; here only the (conservative) coarse liveness
+                dil = occ_state['fine_dil']
+
+                def dil_qfn(pts):
+                    rc = occ_cfg.res
+                    ci = jnp.clip(jnp.floor((pts * 0.5 + 0.5) * rc),
+                                  0, rc - 1).astype(jnp.int32)
+                    return dil[ci[..., 0], ci[..., 1], ci[..., 2]]
+
+                seg2 = _trace_ray_deferred(
+                    occ_state, occ_cfg, cfg, rays, rng,
+                    lambda s: jnp.ones(s.shape[:-1], bool))
+            elif cfg.fine_mode == 'deferred':
                 seg2 = _trace_ray_deferred(
                     occ_state, occ_cfg, cfg, rays, rng,
                     lambda s: occ.query(occ_state, occ_cfg, s))
@@ -575,7 +619,8 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
                 seg2 = _stage2_take(seg, cfg)
             if len(encode_split) == 3:      # (zbar_fn, finish_fn, head_fn)
                 out = _trace_paged(encode_split[0], encode_split[2], seg2,
-                                   cfg, R, finish_fn=encode_split[1])
+                                   cfg, R, finish_fn=encode_split[1],
+                                   dil_qfn=dil_qfn)
             else:
                 out = _trace_paged(encode_split[0], encode_split[1], seg2,
                                    cfg, R)

@@ -290,10 +290,23 @@ class MultiviewTrainer:
                                            or tcfg.segment_size))
 
                         # deferred-direct split (rf_tracer.trace triple)
-                        def zbar_fn(coords, grouping):
-                            return nerf_mod.nerf_zbar(
-                                p, mcfg, coords, grouping,
-                                seg_group, affine=parts)
+                        if tcfg.fine_mode == 'kernel':
+                            # in-kernel fine occupancy rides the encode as
+                            # an extra row; split it off for the tracer
+                            ldim = gcfg.effective_latent_dim
+
+                            def zbar_fn(coords, grouping):
+                                zb = nerf_mod.nerf_zbar(
+                                    p, mcfg, coords, grouping, seg_group,
+                                    affine=parts,
+                                    occ_slab=occ_state['occ_slab'],
+                                    occ_res=mcfg.occ_cfg.res)
+                                return zb[:, :-ldim], zb[:, -ldim]
+                        else:
+                            def zbar_fn(coords, grouping):
+                                return nerf_mod.nerf_zbar(
+                                    p, mcfg, coords, grouping,
+                                    seg_group, affine=parts)
 
                         def finish_fn(zbar_c, coords_c):
                             return nerf_mod.nerf_finish_feats(
@@ -376,16 +389,34 @@ class MultiviewTrainer:
         return fn
 
     def _refresh_coarse(self):
-        """Recompute the segmented march's coarse culling grid (occupancy
-        changes only at prune time — keep it out of the per-step program)."""
+        """Recompute the segmented march's derived occupancy products
+        (occupancy changes only at prune time — keep them out of the
+        per-step program): the coarse culling grid, and in
+        fine_mode='kernel' the bit-packed occupancy slab + the dilated
+        sub-segment liveness grid."""
+        derived = ('coarse', 'occ_slab', 'fine_dil')
         if 'coarse' not in self._fns:
             tcfg = self.tracer_cfg
             self._fns['coarse'] = jax.jit(
                 lambda s: rf_tracer.coarse_dilated_occupancy(
                     s, self.model_cfg.occ_cfg, tcfg))
-        base = {k: v for k, v in self.occ_state.items() if k != 'coarse'}
-        self.occ_state = dict(base,
-                              coarse=self._fns['coarse'](base))
+        base = {k: v for k, v in self.occ_state.items() if k not in derived}
+        new = dict(base, coarse=self._fns['coarse'](base))
+        if self.tracer_cfg.fine_mode == 'kernel':
+            from shacira_tpu.ops import paged_hash as ph
+            if 'occ_slab' not in self._fns:
+                gr = self.tracer_cfg.group_res
+                rad = int(np.ceil(self.model_cfg.occ_cfg.res
+                                  * ph.DIRECT_MARGIN)) + 1
+                self._fns['occ_slab'] = jax.jit(
+                    lambda o: ph.occ_slab_tables(o, group_res=gr))
+                self._fns['fine_dil'] = jax.jit(
+                    lambda s: rf_tracer._coarse_dilated_occupancy(
+                        s, self.model_cfg.occ_cfg,
+                        self.model_cfg.occ_cfg.res, rad))
+            new['occ_slab'] = self._fns['occ_slab'](base['occ'])
+            new['fine_dil'] = self._fns['fine_dil'](base)
+        self.occ_state = new
 
     def _get_prune_fn(self):
         if 'prune' not in self._fns:
@@ -717,6 +748,12 @@ class MultiviewTrainer:
                 self._fns['decode_once'] = jax.jit(
                     lambda p: lg.decode_codebook(p['grid'], mcfg.grid))
             decoded = self._fns['decode_once'](params)
+
+        if tcfg.fine_mode == 'kernel':
+            # rendering uses its own jitted fn; the XLA fine query is fine
+            # there (no training-throughput stakes) and needs no occ slab
+            from dataclasses import replace as _replace
+            tcfg = _replace(tcfg, fine_mode='deferred')
 
         key = ('render_batch', float(d.dist_min), float(d.dist_max),
                lod_mask is None, paged_eval)

@@ -519,3 +519,49 @@ def test_voxel_paged_trace_matches_dense():
         np.testing.assert_allclose(np.asarray(out_paged[ch]),
                                    np.asarray(out_dense[ch]),
                                    rtol=1e-4, atol=1e-4, err_msg=ch)
+
+
+def test_kernel_fine_mode_matches_deferred():
+    """fine_mode='kernel' (in-kernel fine occupancy): with ample budgets the
+    training trajectory must match fine_mode='deferred' exactly — the
+    occupancy row reproduces occ.query bit-for-bit, grouping differences
+    (dilated vs exact sub-segment liveness) change only which pad blocks
+    compute, and the kernel rows for live samples are identical."""
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+
+    def make(fine_mode):
+        data = synthetic_scene(num_views=4, res=16)
+        grid = LatentGridConfig.from_geometric(
+            feature_dim=2, num_lods=4, min_grid_res=16, max_grid_res=64,
+            latent_dim=1, multiscale_type='cat', resolution_dim=3,
+            feature_std=0.02, codebook_bitwidth=17, init_grid='normal',
+            num_prob_layers=1, entropy_enabled=True, hash_layout='paged',
+        ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                         ldec_std=0.1, use_sga=True, diff_sampling=True))
+        mcfg = NeuralRadianceFieldConfig(
+            grid=grid, hidden_dim=16, num_layers=1,
+            view_embedder='positional', view_multires=2, blas_level=7)
+        tcfg = rf_tracer.RFTracerConfig(
+            raymarch_type='ray', num_steps=512, bg_color='white',
+            max_samples=4096, segment_size=4, seg_budget=4096,
+            coarse_level=5, seg_dilation=1, eval_seg_budget=2048,
+            group_segs_per_block=8, fine_mode=fine_mode)
+        cfg = MultiviewTrainerConfig(epochs=20, prune_every=8, chunk_size=4,
+                                     use_sga=True, temperature=0.1,
+                                     entropy_reg=1e-4, entropy_reg_end=1e-4)
+        return MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=64, seed=0)
+
+    td = make('deferred')
+    td.train(num_iterations=16)
+    tk = make('kernel')
+    assert 'occ_slab' in tk.occ_state and 'fine_dil' in tk.occ_state
+    tk.train(num_iterations=16)
+    np.testing.assert_allclose(
+        np.asarray(tk.params['grid']['codebook']),
+        np.asarray(td.params['grid']['codebook']), rtol=2e-4, atol=2e-4)
+    # render path falls back to the deferred query and stays finite
+    img = tk.render_view(0)
+    assert np.isfinite(img).all()

@@ -180,7 +180,7 @@ def test_paged_interp_matches_xla_reference(ld, page_res):
     static = ph.PagedStatic(spec=spec, lods=pag, interpret=True,
                             use_bf16=False)
     out = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
-                               grp['cell_used'], z, static)
+                               grp['cell_used'], z, None, static)
 
     ref_all = hg.hash_encode(coords_s, z, spec)       # [NS, L, ld]
     ref = ref_all[:, pag, :] * slot_valid[:, None, None]
@@ -192,7 +192,7 @@ def test_paged_interp_matches_xla_reference(ld, page_res):
 
     def loss_kernel(z):
         o = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
-                                 grp['cell_used'], z, static)
+                                 grp['cell_used'], z, None, static)
         return jnp.sum(o * r)
 
     def loss_ref(z):
@@ -235,7 +235,7 @@ def test_blocklocal_direct_matches_xla_reference(ld, page_res):
     lods = list(static.all_lods)
     assert lods == sorted(lods)
     out = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
-                               grp['cell_used'], z, static)
+                               grp['cell_used'], z, None, static)
     ref = hg.hash_encode(coords_s, z, spec)[:, lods, :] \
         * slot_valid[:, None, None]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -394,7 +394,7 @@ def test_paged_interp_wide_blocks_match_xla(spb, g):
     static = ph.PagedStatic(spec=spec, lods=pag, interpret=True,
                             use_bf16=False)
     out = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
-                               grp['cell_used'], z, static)
+                               grp['cell_used'], z, None, static)
     ref = hg.hash_encode(coords_s, z, spec)[:, pag, :] \
         * slot_valid[:, None, None]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -408,3 +408,51 @@ def test_paged_interp_wide_blocks_match_xla(spb, g):
         * slot_valid[:, None, None] * r))(z)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_in_kernel_occupancy_matches_query():
+    """The occupancy pseudo-LOD (fine_mode='kernel' machinery): the
+    bit-packed slab + in-kernel nearest one-hot select + bit extraction
+    must reproduce accel.occupancy.query exactly on grouped slot rows."""
+    from shacira_tpu.accel import occupancy as occ
+
+    rng = np.random.default_rng(9)
+    spec = _paged_spec((48, 81, 128), bw=17, page_res=16)
+    _, pag = ph.paged_lods(spec)
+    gr = ph.group_res_of(16)
+    k_seg, g, spb = 160, 4, 4
+    coords, centers, live = _fake_segments(rng, k_seg, g)
+    n_blocks = -(-k_seg // spb) + gr ** 3
+    grp = ph.group_segments(centers, live, spb, n_blocks, gr)
+    ns = grp['slotseg_to_seg'].shape[0] * g
+
+    rows = coords.reshape(k_seg, g * 3)
+    safe = jnp.minimum(grp['slotseg_to_seg'], k_seg - 1)
+    slot_rows = jnp.take(rows, safe, axis=0)
+    slot_valid_seg = grp['slotseg_to_seg'] < k_seg
+    coords_s = jnp.where(slot_valid_seg[:, None], slot_rows, 0.0)
+    coords_s = coords_s.reshape(ns, 3)
+    slot_valid = jnp.repeat(slot_valid_seg, g)
+
+    ocfg = occ.OccupancyGridConfig(level=7)      # res 128
+    occ_grid = jnp.asarray(
+        rng.uniform(size=(128, 128, 128)) < 0.3)
+    state = {**occ.occupancy_init(ocfg), 'occ': occ_grid}
+
+    z = jnp.asarray(rng.normal(size=(spec.total_size, 1)), jnp.float32)
+    occ_slab = ph.occ_slab_tables(occ_grid, group_res=gr)
+    static = ph.PagedStatic(spec=spec, lods=pag, interpret=True,
+                            use_bf16=False, occ_res=128)
+    out = ph.paged_interp_lods(coords_s, slot_valid, grp['block_cell'],
+                               grp['cell_used'], z, occ_slab, static)
+    assert out.shape[1] == len(pag) + 1
+    got = np.asarray(out[:, -1, 0])
+    ref = np.asarray(occ.query(state, ocfg, coords_s)
+                     & slot_valid).astype(np.float32)
+    np.testing.assert_array_equal(got, ref)
+
+    # the occupancy row must not contribute codebook gradients
+    gz = jax.grad(lambda zz: jnp.sum(ph.paged_interp_lods(
+        coords_s, slot_valid, grp['block_cell'], grp['cell_used'], zz,
+        occ_slab, static)[:, -1, :]))(z)
+    np.testing.assert_allclose(np.asarray(gz), 0.0)

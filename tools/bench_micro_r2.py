@@ -94,11 +94,11 @@ def main():
         bc = grouping['block_cell']
         cu = grouping['cell_used']
         enc = jax.jit(lambda cs, zz: ph.paged_interp_lods(
-            cs, slot_valid, bc, cu, zz, static))
+            cs, slot_valid, bc, cu, zz, None, static))
         report[f'enc_fwd_spb{spb}_ms'] = timeit(enc, coords_s, z) * 1e3
         enc_vg = jax.jit(jax.value_and_grad(
             lambda zz: jnp.sum(ph.paged_interp_lods(
-                coords_s, slot_valid, bc, cu, zz, static))))
+                coords_s, slot_valid, bc, cu, zz, None, static))))
         report[f'enc_fwd_bwd_spb{spb}_ms'] = timeit(enc_vg, z) * 1e3
         report[f'enc_slot_rows_spb{spb}'] = int(ns)
     print(json.dumps(report, indent=1))

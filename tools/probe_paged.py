@@ -88,7 +88,7 @@ def main():
         cs = jnp.where(sv_seg[:, None], slot_rows, 0.0).reshape(ns, 3)
         sv = jnp.repeat(sv_seg, g)
         out = ph.paged_interp_lods(cs, sv, grp['block_cell'],
-                                   grp['cell_used'], z, static)
+                                   grp['cell_used'], z, None, static)
         return out
 
     def loss(z, centers_j, coords):
