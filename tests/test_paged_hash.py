@@ -244,7 +244,7 @@ def test_blocklocal_direct_matches_xla_reference(ld, page_res):
     r = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
     gk = jax.grad(lambda zz: jnp.sum(ph.paged_interp_lods(
         coords_s, slot_valid, grp['block_cell'], grp['cell_used'],
-        zz, static) * r))(z)
+        zz, None, static) * r))(z)
     gr = jax.grad(lambda zz: jnp.sum(
         hg.hash_encode(coords_s, zz, spec)[:, lods, :]
         * slot_valid[:, None, None] * r))(z)
@@ -402,7 +402,7 @@ def test_paged_interp_wide_blocks_match_xla(spb, g):
     r = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
     gk = jax.grad(lambda zz: jnp.sum(ph.paged_interp_lods(
         coords_s, slot_valid, grp['block_cell'], grp['cell_used'],
-        zz, static) * r))(z)
+        zz, None, static) * r))(z)
     gr = jax.grad(lambda zz: jnp.sum(
         hg.hash_encode(coords_s, zz, spec)[:, pag, :]
         * slot_valid[:, None, None] * r))(z)
