@@ -23,7 +23,7 @@ NORTH_STAR_RAYS_S = 3.0 * A100_REF_RAYS_S   # >=3x A100 (BASELINE.md)
 
 def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
             seg_dilation: int = 1, seg_budget: int = 0,
-            num_rays: int = 4096):
+            num_rays: int = 4096, fine_mode: str = 'deferred'):
     import jax
     sys.path.insert(0, 'tests')
     from test_nerf import synthetic_scene
@@ -57,7 +57,7 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
                                     seg_budget=seg_budget * r,
                                     eval_seg_budget=24576 * r if paged else 0,
                                     group_seg_size=0, group_segs_per_block=8,
-                                    fine_mode='deferred' if paged else 'exact')
+                                    fine_mode=fine_mode if paged else 'exact')
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
@@ -85,7 +85,8 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
 
 
 def measure_pruned(iters: int = 200, coarse_level: int = 7,
-                   seg_dilation: int = 2, seg_budget: int = 32768):
+                   seg_dilation: int = 2, seg_budget: int = 32768,
+                   fine_mode: str = 'deferred'):
     """Sustained rays/s on the reference's ACTUAL lego workload: pruning
     every 100 iterations (nerf_lego.yaml) with adaptive sample/segment
     budgets.  After the occupancy grid settles (~7% cells), every stage
@@ -121,7 +122,7 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                     seg_budget=seg_budget,
                                     eval_seg_budget=24576,
                                     group_seg_size=0, group_segs_per_block=8,
-                                    fine_mode='deferred')
+                                    fine_mode=fine_mode)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=100, chunk_size=50,
                                  rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
@@ -152,7 +153,7 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
         'eval_seg_budget': tr.active_tracer_cfg.eval_seg_budget,
         'config': 'lego workload: 24 LODs bw19 F4, ray-march 2048 steps, '
                   '4096 rays/iter, prune/100 + adaptive budgets, paged '
-                  'encode, deferred fine mode',
+                  f'encode, {fine_mode} fine mode',
     }
 
 
@@ -212,17 +213,22 @@ def measure_voxel(paged: bool = True, iters: int = 30):
 
 def main():
     iters = 30
+    fine_mode = 'deferred'
     if '--iters' in sys.argv:
         iters = int(sys.argv[sys.argv.index('--iters') + 1])
+    if '--fine-mode' in sys.argv:
+        fine_mode = sys.argv[sys.argv.index('--fine-mode') + 1]
     if '--pruned' in sys.argv:
-        print(json.dumps(measure_pruned(iters=max(iters, 200))))
+        print(json.dumps(measure_pruned(iters=max(iters, 200),
+                                        fine_mode=fine_mode)))
         return
     if '--voxel' in sys.argv:
         print(json.dumps(measure_voxel(paged='--paged' in sys.argv,
                                        iters=iters)))
         return
     paged = '--paged' in sys.argv
-    print(json.dumps(measure(paged=paged, iters=iters)))
+    print(json.dumps(measure(paged=paged, iters=iters,
+                             fine_mode=fine_mode)))
 
 
 if __name__ == '__main__':

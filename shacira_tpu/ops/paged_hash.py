@@ -277,14 +277,13 @@ def _kernel_paged_corners(coords3, c3, res: int, e: int,
         acc = acc ^ (acc >> jnp.uint32(8)) ^ (acc >> jnp.uint32(16)) \
             ^ (acc >> jnp.uint32(24))
     ent = (acc & jnp.uint32(e - 1)).astype(jnp.int32)
-    psel, p3 = None, []
+    psel = None
     for d in range(3):
         pax = jnp.floor((cp[d].astype(jnp.float32) * jnp.float32(page_res)
                          + 0.5) / jnp.float32(res))
         ps = jnp.clip(pax.astype(jnp.int32) - (2 * c3[d] - 1), 0, NEIGH - 1)
-        p3.append(ps)
         psel = ps if psel is None else psel * NEIGH + ps
-    return ent, psel, p3, wgt
+    return ent, psel, wgt
 
 
 def _kernel_slab_start(c, res: int, w: int, g: int, margin: float, starts):
@@ -573,7 +572,7 @@ def _dot_precision(dtype):
             else jax.lax.Precision.HIGHEST)
 
 
-def _lod_gather(ent, psel, p3, wgt, tab, E, NP, C, B, LD, dtype,
+def _lod_gather(ent, psel, wgt, tab, E, NP, C, B, LD, dtype,
                 swap: bool = False):
     """One LOD's block encode.
 
@@ -588,9 +587,8 @@ def _lod_gather(ent, psel, p3, wgt, tab, E, NP, C, B, LD, dtype,
         one-hot on the VPU.  With K=E the un-swapped contraction would
         leave 7/8 of the MXU idle.
 
-    ent/psel/wgt: [C, B] refs' loaded blocks; p3: per-axis page-slot
-    coords (3 x [C, B], slot = (px*4 + py)*4 + pz; unused, kept for probe
-    variants); tab: slot-major [NP, LD*E] resident window (lanes (d, e);
+    ent/psel/wgt: [C, B] refs' loaded blocks (slot = (px*4 + py)*4 + pz);
+    tab: slot-major [NP, LD*E] resident window (lanes (d, e);
     swap=False) or [LD*E, NP] (swap=True).  Returns [LD, B] f32.
     """
     cb = C * B
@@ -767,12 +765,12 @@ def _gather_kernel(bc_ref, coords_ref, *args, RES_D, STARTS_D, WS, RES_P,
                     by, bz, mx, slab, w=w, LD=LD, dtype=dtype)
                 li += 1
             for pi, res in enumerate(RES_P):
-                ent, psel, p3, wgt = _kernel_paged_corners(coords3, c3, res,
-                                                           E, PR)
+                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res,
+                                                       E, PR)
                 nw = N_NEIGH if SWAP else LD * E
                 tab = (neigh[0, :, pi * nw:(pi + 1) * nw])
                 out_ref[0, li, :, sl] = _lod_gather(
-                    ent, psel, p3, wgt, tab,
+                    ent, psel, wgt, tab,
                     E=E, NP=N_NEIGH, C=C, B=hb, LD=LD, dtype=dtype,
                     swap=SWAP)
                 li += 1
@@ -823,8 +821,8 @@ def _scatter_kernel(bc_ref, coords_ref, g_ref, *outs, RES_D, STARTS_D, WS,
                         dtype=dtype))
                 li += 1
             for pi, res in enumerate(RES_P):
-                ent, psel, _, wgt = _kernel_paged_corners(coords3, c3, res,
-                                                          E, PR)
+                ent, psel, wgt = _kernel_paged_corners(coords3, c3, res,
+                                                       E, PR)
                 nw = N_NEIGH if SWAP else LD * E
                 outs[1 if WS else 0][0, :, pi * nw:(pi + 1) * nw] += (
                     _lod_scatter(
@@ -1252,9 +1250,11 @@ def _paged_bwd(static, saved, g):
     partials = list(partials)
 
     # unvisited cells hold garbage — mask before reducing to tables.  The
-    # window->table reduction chains stream ~10x the table size; in bf16
-    # mode they run bf16 (the kernels' per-block accumulation stays f32) —
-    # same precision class as the reference's fp16 atomicAdd backward
+    # window->table reduction chains stream ~10x the table size but stay
+    # exact f32 end to end: the scatter-kernel partials are declared f32
+    # (out_shapes) and both fold reducers (_slab_grad_to_table,
+    # _pages_from_cells_dot) cast to f32 with Precision.HIGHEST — strictly
+    # better than the reference's fp16 atomicAdd backward
     # (hashgrid_interpolate_cuda.cu:199-209).
     mask = jnp.concatenate([cell_used, jnp.zeros((1,), bool)])
     pieces = {}

@@ -562,6 +562,12 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         (ref extra-channel integration, packed_rf_tracer.py:155-168).
     """
     R = rays.origins.shape[0]
+    if (cfg.fine_mode == 'kernel' and encode_split is not None
+            and len(encode_split) != 3):
+        raise ValueError(
+            "fine_mode='kernel' requires the 3-way encode_split "
+            "(zbar_fn, finish_fn, head_fn); a 2-tuple would silently skip "
+            "the in-kernel fine occupancy query")
     if (cfg.raymarch_type == 'voxel' and encode_split is not None
             and cfg.eval_seg_budget > 0 and cfg.max_samples > 0):
         # paged voxel trace: each (ray, intersected-cell) group of num_steps
