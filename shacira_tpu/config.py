@@ -158,7 +158,9 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument('--group-segs-per-block', type=int, default=8)
     g.add_argument('--group-seg-size', type=int, default=0)
     g.add_argument('--fine-mode', type=str, default='exact',
-                   choices=('exact', 'deferred'))
+                   choices=('exact', 'deferred', 'kernel'))
+    # transmittance culling threshold (0 disables; see RFTracerConfig)
+    g.add_argument('--term-tau', type=float, default=0.0)
 
     g = parser.add_argument_group('net')  # nerf nef extras
     g.add_argument('--view-embedder', type=str, default='positional')
@@ -388,5 +390,6 @@ def build_tracer_config(args):
         eval_seg_budget=args.eval_seg_budget,
         group_segs_per_block=args.group_segs_per_block,
         fine_mode=args.fine_mode,
+        term_tau=getattr(args, 'term_tau', 0.0),
         group_seg_size=getattr(args, 'group_seg_size', 0),
         group_res=getattr(args, 'page_res', 16) // 2)

@@ -83,6 +83,19 @@ class RFTracerConfig:
     # Same exactness caveats as 'deferred'; grouping admits slightly more
     # blocks (dilated vs exact sub-segment liveness).
     fine_mode: str = 'exact'       # 'exact' | 'deferred' | 'kernel'
+    # transmittance culling: drop segments ('ray') / cells ('voxel') whose
+    # approximate accumulated optical depth — from the occupancy grid's
+    # NGP-style decayed-max density cache (accel/occupancy.py prune_update,
+    # ref nerf.py:150-185) — already exceeds this threshold, i.e. whose
+    # estimated transmittance is below exp(-term_tau).  Samples behind that
+    # point carry ~zero integration weight (and ~zero gradient), so culling
+    # them cuts every downstream stage (grouping, paged encode, compaction,
+    # head) by the occluded fraction at negligible quality cost.  The
+    # estimate is the decayed MAX density per cell (an overestimate), so
+    # pick term_tau with headroom (e.g. 11.5 ~ T < 1e-5).  0 disables.
+    # Before the first prune the density cache is zero and nothing is
+    # culled (conservative).
+    term_tau: float = 0.0
 
 
 def integration_weights(density, deltas, mask):
@@ -290,6 +303,22 @@ def coarse_dilated_occupancy(occ_state, occ_cfg: occ.OccupancyGridConfig,
                                      cfg.seg_dilation)
 
 
+def coarse_packed_grid(occ_state, occ_cfg: occ.OccupancyGridConfig,
+                       cfg: RFTracerConfig):
+    """Packed coarse grid for term_tau > 0: ``[rc, rc, rc, 2]`` f32 holding
+    (dilated coarse occupancy, max-pooled density cache).  Channel 0 is the
+    same liveness bit as :func:`coarse_dilated_occupancy`; channel 1 is the
+    UNdilated max-pool of the NGP decayed-max density (dilating it would
+    attribute a surface's opacity to its empty neighbors).  Packing both
+    into one array keeps stage-1 at a single gather — gather cost is flat
+    in row width on TPU, so the extra channel is free."""
+    rc = _coarse_res(cfg, occ_cfg)
+    o = _coarse_dilated_occupancy(occ_state, occ_cfg, rc, cfg.seg_dilation)
+    f = occ_cfg.res // rc
+    d = occ_state['density'].reshape(rc, f, rc, f, rc, f).max(axis=(1, 3, 5))
+    return jnp.stack([o.astype(jnp.float32), d], axis=-1)
+
+
 def coarse_segment_live(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
                         rng):
     """Stage-1 segment cull: (depth [R, S], deltas [R, S], mask_c [R, ns]).
@@ -297,7 +326,10 @@ def coarse_segment_live(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
     Sampling is identical to raymarch_ray (same jitter draw); a segment is
     live when its midpoint's dilated coarse cell is occupied (conservative:
     the dilated cell covers the whole segment — see validate_segment_cover).
-    Also used standalone by the trainer's adaptive-budget probe."""
+    With ``cfg.term_tau > 0`` a segment must also not sit behind an
+    estimated accumulated optical depth of term_tau (transmittance
+    culling; see RFTracerConfig).  Also used standalone by the trainer's
+    adaptive-budget probe."""
     G = cfg.segment_size
     S = cfg.num_steps
     assert S % G == 0, (S, G)
@@ -319,16 +351,31 @@ def coarse_segment_live(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
     # validate_segment_cover() with their concrete distance bounds.
     cover = segment_cover_radius(cfg, occ_cfg)
     rc = _coarse_res(cfg, occ_cfg)
-    coarse = occ_state.get('coarse')
-    if coarse is None:
-        coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, rc,
-                                           cfg.seg_dilation)
     dseg = depth.reshape(R, ns, G)
     t_mid = 0.5 * (dseg[..., 0] + dseg[..., -1])              # [R, ns]
     mid = rays.origins[:, None, :] + rays.dirs[:, None, :] * t_mid[..., None]
     inside = jnp.all(jnp.abs(mid) <= 1.0 + cover, axis=-1)
     ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * rc), 0, rc - 1).astype(jnp.int32)
-    mask_c = coarse[ci[..., 0], ci[..., 1], ci[..., 2]] & inside  # [R, ns]
+    if cfg.term_tau > 0:
+        packed = occ_state.get('coarse2')
+        if packed is None:
+            packed = coarse_packed_grid(occ_state, occ_cfg, cfg)
+        v = packed[ci[..., 0], ci[..., 1], ci[..., 2]]        # [R, ns, 2]
+        mask_c = (v[..., 0] > 0) & inside
+        # estimated optical depth per live segment: cached max density x
+        # segment chord length; exclusive cumsum = depth in FRONT of the
+        # segment.  Dead segments contribute zero (their density cache is
+        # below the prune threshold anyway).
+        seg_len = (dmax - dmin) / ns                          # [R, 1]
+        tau = jnp.where(mask_c, v[..., 1] * seg_len, 0.0)
+        cum = jnp.cumsum(tau, axis=-1) - tau                  # exclusive
+        mask_c = mask_c & (cum <= cfg.term_tau)
+    else:
+        coarse = occ_state.get('coarse')
+        if coarse is None:
+            coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, rc,
+                                               cfg.seg_dilation)
+        mask_c = coarse[ci[..., 0], ci[..., 1], ci[..., 2]] & inside
     return depth, deltas, mask_c
 
 
@@ -411,6 +458,29 @@ def _trace_ray_deferred(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
         deltas=delta2,
         ray=jnp.broadcast_to(r_id[:, None], (k2, G)),
         valid=valid2)
+
+
+def voxel_term_mask(occ_state, occ_cfg, m, R: int, I: int, S: int,
+                    term_tau: float):
+    """Transmittance culling over DDA cell intersections: ``[R, I]`` bool,
+    True while the estimated transmittance at the cell's entry is above
+    exp(-term_tau).  Intersections are depth-ordered per ray (the DDA walks
+    front-to-back), so the per-cell optical-depth estimate — cached
+    decayed-max density x in-cell chord length — accumulates with an
+    exclusive cumsum along the intersection axis.  Padding intersections
+    (mask all-False) contribute zero."""
+    samples = m['samples'].reshape(R, I, S, 3)
+    deltas = m['deltas'].reshape(R, I, S)
+    mask = m['mask'].reshape(R, I, S)
+    chord = jnp.sum(deltas * mask, axis=-1)                   # [R, I]
+    mid = samples[:, :, S // 2, :]
+    res = occ_cfg.res
+    ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * res),
+                  0, res - 1).astype(jnp.int32)
+    dens = occ_state['density'][ci[..., 0], ci[..., 1], ci[..., 2]]
+    tau = dens * chord
+    cum = jnp.cumsum(tau, axis=-1) - tau                      # exclusive
+    return cum <= term_tau
 
 
 def _flatten_segs(seg):
@@ -580,11 +650,16 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
                                cfg.max_intersections)
         I, S = cfg.max_intersections, cfg.num_steps
         k = R * I
+        vmask = m['mask'].reshape(k, S)
+        if cfg.term_tau > 0:
+            keep = voxel_term_mask(occ_state, occ_cfg, m, R, I, S,
+                                   cfg.term_tau)
+            vmask = vmask & keep.reshape(k, 1)
         seg = dict(
             samples=m['samples'].reshape(k, S, 3),
             dirs=jnp.broadcast_to(rays.dirs[:, None, None, :],
                                   (R, I, S, 3)).reshape(k, S, 3),
-            mask=m['mask'].reshape(k, S),
+            mask=vmask,
             depth=m['depth'].reshape(k, S),
             deltas=m['deltas'].reshape(k, S),
             ray=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None],
@@ -641,6 +716,12 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         elif cfg.raymarch_type == 'voxel':
             m = occ.raymarch_voxel(occ_state, occ_cfg, rays, cfg.num_steps,
                                    rng, cfg.max_intersections)
+            if cfg.term_tau > 0:
+                I, S = cfg.max_intersections, cfg.num_steps
+                keep = voxel_term_mask(occ_state, occ_cfg, m, R, I, S,
+                                       cfg.term_tau)
+                m = dict(m, mask=(m['mask'].reshape(R, I, S)
+                                  & keep[..., None]).reshape(m['mask'].shape))
         else:
             raise ValueError(cfg.raymarch_type)
 

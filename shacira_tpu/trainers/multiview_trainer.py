@@ -394,14 +394,20 @@ class MultiviewTrainer:
         per-step program): the coarse culling grid, and in
         fine_mode='kernel' the bit-packed occupancy slab + the dilated
         sub-segment liveness grid."""
-        derived = ('coarse', 'occ_slab', 'fine_dil')
+        derived = ('coarse', 'coarse2', 'occ_slab', 'fine_dil')
         if 'coarse' not in self._fns:
             tcfg = self.tracer_cfg
             self._fns['coarse'] = jax.jit(
                 lambda s: rf_tracer.coarse_dilated_occupancy(
                     s, self.model_cfg.occ_cfg, tcfg))
+            if tcfg.term_tau > 0 and tcfg.raymarch_type == 'ray':
+                self._fns['coarse2'] = jax.jit(
+                    lambda s: rf_tracer.coarse_packed_grid(
+                        s, self.model_cfg.occ_cfg, tcfg))
         base = {k: v for k, v in self.occ_state.items() if k not in derived}
         new = dict(base, coarse=self._fns['coarse'](base))
+        if 'coarse2' in self._fns:
+            new['coarse2'] = self._fns['coarse2'](base)
         if self.tracer_cfg.fine_mode == 'kernel':
             from shacira_tpu.ops import paged_hash as ph
             if 'occ_slab' not in self._fns:
@@ -480,8 +486,14 @@ class MultiviewTrainer:
         def body(occ_state, rays, k):
             m = occ.raymarch_voxel(occ_state, self.model_cfg.occ_cfg, rays,
                                    base.num_steps, k, base.max_intersections)
-            live = m['mask'].reshape(rays.origins.shape[0],
-                                     base.max_intersections, base.num_steps)
+            R = rays.origins.shape[0]
+            live = m['mask'].reshape(R, base.max_intersections,
+                                     base.num_steps)
+            if base.term_tau > 0:
+                keep = rf_tracer.voxel_term_mask(
+                    occ_state, self.model_cfg.occ_cfg, m, R,
+                    base.max_intersections, base.num_steps, base.term_tau)
+                live = live & keep[..., None]
             return jnp.mean(jnp.sum(live.any(-1).astype(jnp.float32), -1))
 
         return self._probe_fraction('probe_voxel', body)

@@ -565,3 +565,169 @@ def test_kernel_fine_mode_matches_deferred():
     # render path falls back to the deferred query and stays finite
     img = tk.render_view(0)
     assert np.isfinite(img).all()
+
+
+def _two_wall_scene(level=5):
+    """Occupancy + trained-like density cache: an opaque wall at x in
+    [-0.625,-0.375] fully occludes a second wall at x in [0.375,0.625].
+    Wall faces sit ON cell boundaries (multiples of 1/8) so the per-cell
+    decayed-max density cache equals the true field density everywhere —
+    culling decisions are then exact, not conservative-with-headroom."""
+    cfg = occ.OccupancyGridConfig(level=level)
+    state = occ.occupancy_init(cfg)
+    res = cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, _, _ = np.meshgrid(g, g, g, indexing='ij')
+    wall1 = (xx > -0.625) & (xx < -0.375)
+    wall2 = (xx > 0.375) & (xx < 0.625)
+    dens = 400.0 * wall1 + 300.0 * wall2
+    state = {**state, 'occ': jnp.asarray(wall1 | wall2),
+             'density': jnp.asarray(dens, jnp.float32)}
+
+    def field_fn(coords, dirs):
+        x = coords[..., 0]
+        in1 = ((x > -0.625) & (x < -0.375)).astype(jnp.float32)
+        in2 = ((x > 0.375) & (x < 0.625)).astype(jnp.float32)
+        density = (400.0 * in1 + 300.0 * in2)[..., None]
+        color = jnp.stack([in1, in2, jnp.zeros_like(x)], -1)
+        return color, density
+
+    return cfg, state, field_fn
+
+
+def _axis_rays(R, seed=7):
+    o = np.asarray([[-2.0, 0.0, 0.0]], np.float32) + np.zeros((R, 3),
+                                                              np.float32)
+    rng_rays = np.random.RandomState(seed)
+    to = rng_rays.uniform(-0.3, 0.3, (R, 3)).astype(np.float32)
+    to[:, 0] = 0.0
+    d = to - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return make_rays(o, d, 0.0, 4.0)
+
+
+def test_term_tau_culls_occluded_ray_segments():
+    """term_tau transmittance culling ('ray'): segments behind the opaque
+    wall are dropped from stage-1 (their integration weight is ~e^-80)
+    while the render matches the un-culled one; with a zero density cache
+    (pre-prune) nothing is culled."""
+    cfg, state, field_fn = _two_wall_scene()
+    rays = _axis_rays(32)
+    key = jax.random.PRNGKey(5)
+
+    def run(state, term_tau):
+        tc = rf_tracer.RFTracerConfig(
+            raymarch_type='ray', num_steps=256, bg_color='white',
+            max_samples=4096, segment_size=8, seg_budget=1024,
+            coarse_level=4, seg_dilation=2, term_tau=term_tau)
+        out = rf_tracer.trace(field_fn, state, cfg, tc, rays, key)
+        _, _, mask_c = rf_tracer.coarse_segment_live(state, cfg, tc, rays,
+                                                     key)
+        return out, int(jnp.sum(mask_c))
+
+    out0, live0 = run(state, 0.0)
+    out1, live1 = run(state, 11.0)
+    assert live1 < live0, (live1, live0)
+    for ch in ('rgb', 'alpha', 'depth'):
+        np.testing.assert_allclose(np.asarray(out1[ch]),
+                                   np.asarray(out0[ch]),
+                                   atol=1e-4, err_msg=ch)
+    # conservative pre-prune: zero density cache culls nothing
+    state_z = {**state, 'density': jnp.zeros_like(state['density'])}
+    _, live_z = run(state_z, 11.0)
+    assert live_z == live0, (live_z, live0)
+    # precomputed packed grid path (trainer stash) gives the same cull
+    tc = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=256, bg_color='white',
+        max_samples=4096, segment_size=8, seg_budget=1024,
+        coarse_level=4, seg_dilation=2, term_tau=11.0)
+    state_p = {**state,
+               'coarse2': rf_tracer.coarse_packed_grid(state, cfg, tc)}
+    _, _, mask_p = rf_tracer.coarse_segment_live(state_p, cfg, tc, rays, key)
+    assert int(jnp.sum(mask_p)) == live1
+
+
+def test_term_tau_culls_occluded_voxel_cells():
+    """term_tau transmittance culling ('voxel' paged trace): occluded
+    cell intersections are dropped while the render matches; the paged
+    and dense voxel paths agree under culling."""
+    cfg, state, field_fn = _two_wall_scene(level=4)
+    rays = _axis_rays(24, seed=9)
+    key = jax.random.PRNGKey(13)
+
+    def encode_fn(coords, grouping):
+        return jnp.concatenate([jnp.sin(2.0 * coords), coords], -1)
+
+    def head_fn(feats, dirs):
+        x = feats[..., 3]           # coords x channel survives the encode
+        in1 = ((x > -0.625) & (x < -0.375)).astype(jnp.float32)
+        in2 = ((x > 0.375) & (x < 0.625)).astype(jnp.float32)
+        density = (400.0 * in1 + 300.0 * in2)[..., None]
+        color = jnp.stack([in1, in2, jnp.zeros_like(x)], -1)
+        return color, density
+
+    base = dict(raymarch_type='voxel', num_steps=8, bg_color='white',
+                max_intersections=32, max_samples=4096, eval_seg_budget=512,
+                group_segs_per_block=8)
+
+    def run_paged(term_tau):
+        tc = rf_tracer.RFTracerConfig(**base, term_tau=term_tau)
+        return rf_tracer.trace(None, state, cfg, tc, rays, key,
+                               encode_split=(encode_fn, head_fn))
+
+    out0 = run_paged(0.0)
+    out1 = run_paged(11.0)
+    for ch in ('rgb', 'alpha', 'depth'):
+        np.testing.assert_allclose(np.asarray(out1[ch]),
+                                   np.asarray(out0[ch]),
+                                   atol=1e-4, err_msg=ch)
+    # the culling itself must drop occluded cells
+    m = occ.raymarch_voxel(state, cfg, rays, 8, key, 32)
+    keep = rf_tracer.voxel_term_mask(state, cfg, m, 24, 32, 8, 11.0)
+    live_cells = m['mask'].reshape(24, 32, 8).any(-1)
+    assert int(jnp.sum(live_cells & ~keep)) > 0
+    # dense (non-paged) voxel path matches too
+    tc_d = rf_tracer.RFTracerConfig(raymarch_type='voxel', num_steps=8,
+                                    bg_color='white', max_intersections=32,
+                                    term_tau=11.0)
+    out_d = rf_tracer.trace(field_fn, state, cfg, tc_d, rays, key)
+    np.testing.assert_allclose(np.asarray(out1['rgb']),
+                               np.asarray(out_d['rgb']), atol=1e-4)
+
+
+def test_trainer_term_tau_trains():
+    """End-to-end training with transmittance culling on: the trainer
+    stashes the packed coarse grid at prune refreshes, the adaptive
+    budgets stay valid, and training stays finite."""
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
+    from shacira_tpu.trainers.multiview_trainer import (
+        MultiviewTrainer, MultiviewTrainerConfig)
+
+    data = synthetic_scene(num_views=4, res=16)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=2, num_lods=4, min_grid_res=16, max_grid_res=64,
+        latent_dim=1, multiscale_type='cat', resolution_dim=3,
+        feature_std=0.02, codebook_bitwidth=17, init_grid='normal',
+        num_prob_layers=1, entropy_enabled=True, hash_layout='paged',
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralRadianceFieldConfig(
+        grid=grid, hidden_dim=16, num_layers=1,
+        view_embedder='positional', view_multires=2, blas_level=7)
+    tcfg = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=512, bg_color='white',
+        max_samples=4096, segment_size=4, seg_budget=4096,
+        coarse_level=5, seg_dilation=1, eval_seg_budget=2048,
+        group_segs_per_block=8, fine_mode='deferred', term_tau=11.0)
+    cfg = MultiviewTrainerConfig(epochs=20, prune_every=8, chunk_size=4,
+                                 use_sga=True, temperature=0.1,
+                                 entropy_reg=1e-4, entropy_reg_end=1e-4,
+                                 adaptive_budget=True, min_budget=512)
+    tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=64, seed=0)
+    assert 'coarse2' in tr.occ_state
+    assert tr.occ_state['coarse2'].shape[-1] == 2
+    tr.train(num_iterations=16)
+    assert np.isfinite(np.asarray(tr.params['grid']['codebook'])).all()
+    img = tr.render_view(0)
+    assert np.isfinite(img).all()
