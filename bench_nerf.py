@@ -86,7 +86,7 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
 
 def measure_pruned(iters: int = 200, coarse_level: int = 7,
                    seg_dilation: int = 2, seg_budget: int = 32768,
-                   fine_mode: str = 'deferred'):
+                   fine_mode: str = 'deferred', term_tau: float = 0.0):
     """Sustained rays/s on the reference's ACTUAL lego workload: pruning
     every 100 iterations (nerf_lego.yaml) with adaptive sample/segment
     budgets.  After the occupancy grid settles (~7% cells), every stage
@@ -122,7 +122,7 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                     seg_budget=seg_budget,
                                     eval_seg_budget=24576,
                                     group_seg_size=0, group_segs_per_block=8,
-                                    fine_mode=fine_mode)
+                                    fine_mode=fine_mode, term_tau=term_tau)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=100, chunk_size=50,
                                  rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
@@ -153,7 +153,8 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
         'eval_seg_budget': tr.active_tracer_cfg.eval_seg_budget,
         'config': 'lego workload: 24 LODs bw19 F4, ray-march 2048 steps, '
                   '4096 rays/iter, prune/100 + adaptive budgets, paged '
-                  f'encode, {fine_mode} fine mode',
+                  f'encode, {fine_mode} fine mode'
+                  + (f', term_tau={term_tau}' if term_tau > 0 else ''),
     }
 
 
@@ -218,9 +219,13 @@ def main():
         iters = int(sys.argv[sys.argv.index('--iters') + 1])
     if '--fine-mode' in sys.argv:
         fine_mode = sys.argv[sys.argv.index('--fine-mode') + 1]
+    term_tau = 0.0
+    if '--term-tau' in sys.argv:
+        term_tau = float(sys.argv[sys.argv.index('--term-tau') + 1])
     if '--pruned' in sys.argv:
         print(json.dumps(measure_pruned(iters=max(iters, 200),
-                                        fine_mode=fine_mode)))
+                                        fine_mode=fine_mode,
+                                        term_tau=term_tau)))
         return
     if '--voxel' in sys.argv:
         print(json.dumps(measure_voxel(paged='--paged' in sys.argv,

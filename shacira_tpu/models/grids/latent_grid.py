@@ -372,9 +372,43 @@ def ent_loss(params, cfg: LatentGridConfig, noise, *, is_val: bool = False):
     return total_bits / cb.shape[0], total_bits
 
 
+def stream_side_info_bits(params) -> int:
+    """Bits of side information a HISTOGRAM-coded latent stream needs to be
+    decodable: per latent channel, the symbol count (32), alphabet size
+    (16), the alphabet values (int16 each — SHACIRA latents round to a few
+    hundred distinct integers) and a 16-bit-quantized CDF entry per symbol
+    (torchac's precision).  The reference reports only ``len(byte_stream)``
+    (latent_grid.py:168-172) and ships neither — its reported size is not
+    decodable as-is; we count both accountings (PARITY.md)."""
+    cb = np.asarray(params['codebook'])
+    bits = 0
+    for c in range(cb.shape[1]):
+        w = np.round(cb[:, c]).astype(np.int64)
+        a = int(np.unique(w).shape[0])
+        bits += 32 + 16 + a * 16 + a * 16
+    return bits
+
+
+def prob_model_size_bits(params) -> int:
+    """fp32 bits of the BitEstimator parameters — the side information the
+    PROB-MODEL-coded stream needs (the decoder evaluates the model CDF;
+    no alphabet/histogram is transmitted).  The reference never counts it
+    (nor transmits it); it is ~0.1 kB."""
+    if 'prob_model' not in params:
+        return 0
+    leaves = jax.tree.leaves(params['prob_model'])
+    return int(sum(np.prod(l.shape) for l in leaves)) * 32
+
+
 def grid_size_bits(params, cfg: LatentGridConfig, *, use_codec: bool = False,
-                   use_prob_model: bool = False):
+                   use_prob_model: bool = False,
+                   count_side_info: bool = False):
     """(decoder_bits, latent_bits): compressed size accounting.
+
+    ``count_side_info``: add what the stream needs to be decodable —
+    histogram mode: alphabet + quantized CDF per channel
+    (:func:`stream_side_info_bits`); prob-model mode: the BitEstimator
+    parameters (:func:`prob_model_size_bits`).
 
     Mirrors LatentGrid.size (latent_grid.py:138-174): per-latent-channel
     entropy of the rounded codebook, from the histogram (or prob model CDF),
@@ -419,6 +453,9 @@ def grid_size_bits(params, cfg: LatentGridConfig, *, use_codec: bool = False,
             codebook_bits += coding.coded_size_bits(w)
         else:
             codebook_bits += coding.entropy_bits_histogram(w)
+    if count_side_info:
+        codebook_bits += (prob_model_size_bits(params) if use_prob_model
+                          else stream_side_info_bits(params))
     return ldec_bits, codebook_bits
 
 

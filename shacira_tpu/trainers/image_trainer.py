@@ -630,16 +630,29 @@ class ImageTrainer:
 
     # ------------------------------------------------------------------
     def size_report(self, use_codec: bool, params=None) -> Dict[str, float]:
-        """BPP/size accounting (ref image_trainer.py:147-171)."""
+        """BPP/size accounting (ref image_trainer.py:147-171).
+
+        Headline latent size is the PROB-MODEL-CDF stream when the grid has
+        a BitEstimator — it is decodable with no per-image side information
+        beyond the (counted) model parameters.  The histogram variant the
+        reference reports (latent_grid.py:168-172) is also given, with its
+        alphabet+CDF side info counted (``*_hist``), since a histogram
+        stream alone cannot be decoded."""
         params = params if params is not None else self.params
         gcfg = self.model_cfg.grid
+        # prob-model accounting only on the (final) codec pass: the
+        # BitEstimator CDF evaluation is an eager device call — too slow
+        # for the per-epoch histogram-estimate log line on the TPU relay
+        has_pm = (use_codec and self.ldecode_enabled
+                  and 'prob_model' in params['grid'])
         ldec_bits, latent_bits = lg.grid_size_bits(
-            params['grid'], gcfg, use_codec=use_codec)
+            params['grid'], gcfg, use_codec=use_codec,
+            use_prob_model=has_pm, count_side_info=has_pm)
         rest_bits = non_grid_size_bits(params)
         total = ldec_bits + latent_bits + rest_bits
         npix = self.dataset.h * self.dataset.w
         cb = np.asarray(params['grid']['codebook'])
-        return {
+        out = {
             'ldec_size_kb': ldec_bits / 8e3,
             'latent_size_kb': latent_bits / 8e3,
             'remainder_size_kb': rest_bits / 8e3,
@@ -648,6 +661,15 @@ class ImageTrainer:
             'rounding_loss': float(np.mean(np.abs(cb - np.round(cb))))
             if self.ldecode_enabled else 0.0,
         }
+        if has_pm:
+            _, hist_bits = lg.grid_size_bits(
+                params['grid'], gcfg, use_codec=use_codec,
+                count_side_info=True)
+            total_h = ldec_bits + hist_bits + rest_bits
+            out['latent_size_kb_hist'] = hist_bits / 8e3
+            out['total_size_kb_hist'] = total_h / 8e3
+            out['bpp_hist'] = total_h / npix
+        return out
 
     def render(self, params=None) -> np.ndarray:
         """Full-image prediction in row-major [H, W, 3] (eval path: STE round)."""

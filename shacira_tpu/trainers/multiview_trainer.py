@@ -869,12 +869,24 @@ class MultiviewTrainer:
         gcfg = self.model_cfg.grid
         if not isinstance(gcfg, LatentGridConfig):
             return {}
+        # prob-model accounting only on the (final) codec pass — the
+        # BitEstimator CDF evaluation is an eager device call
+        has_pm = use_codec and 'prob_model' in params['grid']
         ldec_bits, latent_bits = lg.grid_size_bits(params['grid'], gcfg,
-                                                   use_codec=use_codec)
+                                                   use_codec=use_codec,
+                                                   use_prob_model=has_pm,
+                                                   count_side_info=has_pm)
         rest = (mlp_mod.mlp_size_bits(params['decoder_density'])
                 + mlp_mod.mlp_size_bits(params['decoder_color']))
         total = ldec_bits + latent_bits + rest
-        return {'ldec_size_kb': ldec_bits / 8e3,
-                'latent_size_kb': latent_bits / 8e3,
-                'remainder_size_kb': rest / 8e3,
-                'total_size_kb': total / 8e3}
+        out = {'ldec_size_kb': ldec_bits / 8e3,
+               'latent_size_kb': latent_bits / 8e3,
+               'remainder_size_kb': rest / 8e3,
+               'total_size_kb': total / 8e3}
+        if has_pm:
+            _, hist_bits = lg.grid_size_bits(params['grid'], gcfg,
+                                             use_codec=use_codec,
+                                             count_side_info=True)
+            out['latent_size_kb_hist'] = hist_bits / 8e3
+            out['total_size_kb_hist'] = (ldec_bits + hist_bits + rest) / 8e3
+        return out

@@ -96,3 +96,65 @@ def test_histogram_vs_prob_model_entropy_ordering():
     _, model_bits = lg.grid_size_bits(params, gcfg, use_codec=False,
                                       use_prob_model=True)
     assert model_bits >= hist_bits * 0.999
+
+
+def test_side_info_accounting():
+    """count_side_info: the histogram stream carries its alphabet + 16-bit
+    CDF per channel; the prob-model stream carries only the BitEstimator
+    params.  Sizes must match the alphabets encode_grid_stream actually
+    ships."""
+    from shacira_tpu.models.grids import latent_grid as lg
+    gcfg = lg.LatentGridConfig.from_geometric(
+        feature_dim=1, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=2, resolution_dim=2, feature_std=2.0,
+        codebook_bitwidth=6, num_prob_layers=2, entropy_enabled=True,
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=False,
+                     ldec_std=0.1))
+    params = jax.tree.map(np.asarray,
+                          lg.latent_grid_init(jax.random.PRNGKey(2), gcfg))
+    side = lg.stream_side_info_bits(params)
+    blob = lg.encode_grid_stream(params, gcfg)
+    want = sum(32 + 16 + 32 * len(ch['alphabet'])
+               for ch in blob['channels'])
+    assert side == want, (side, want)
+    pm_bits = lg.prob_model_size_bits(params)
+    n_pm = sum(np.prod(l.shape)
+               for l in jax.tree.leaves(params['prob_model']))
+    assert pm_bits == 32 * n_pm and pm_bits > 0
+    _, h0 = lg.grid_size_bits(params, gcfg, use_codec=True)
+    _, h1 = lg.grid_size_bits(params, gcfg, use_codec=True,
+                              count_side_info=True)
+    assert h1 == h0 + side
+    _, p0 = lg.grid_size_bits(params, gcfg, use_codec=True,
+                              use_prob_model=True)
+    _, p1 = lg.grid_size_bits(params, gcfg, use_codec=True,
+                              use_prob_model=True, count_side_info=True)
+    assert p1 == p0 + pm_bits
+
+
+def test_image_finalize_reports_both_streams():
+    """ImageTrainer.finalize(): headline BPP is the prob-model stream
+    (+ counted BitEstimator params); the histogram variant with its side
+    info is reported alongside."""
+    from shacira_tpu.datasets.image import ImageDataset
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.image import NeuralImageConfig
+    from shacira_tpu.trainers.image_trainer import (ImageTrainer,
+                                                    ImageTrainerConfig)
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 48, 3).astype(np.float32)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=1, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=1, resolution_dim=2, feature_std=1.0,
+        codebook_bitwidth=8, num_prob_layers=2, entropy_enabled=True,
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralImageConfig(grid=grid, hidden_dim=8, num_layers=1)
+    tcfg = ImageTrainerConfig(epochs=30, use_sga=True, temperature=0.5,
+                              entropy_reg=1e-3, entropy_reg_end=1e-4,
+                              log_every=-1, chunk_size=10)
+    tr = ImageTrainer(tcfg, mcfg, ImageDataset(img), seed=0)
+    out = tr.train()
+    for k in ('bpp', 'bpp_hist', 'latent_size_kb', 'latent_size_kb_hist',
+              'total_size_kb', 'total_size_kb_hist'):
+        assert k in out and out[k] > 0, k

@@ -31,7 +31,8 @@ LAMBDAS = [(1e-2, 1e-3), (3e-3, 3e-4), (1e-3, 1e-4), (2e-4, 2e-5)]
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--epochs', type=int, default=60000)
-    ap.add_argument('--images', type=int, default=2)
+    ap.add_argument('--images', type=int, default=4)
+    ap.add_argument('--seeds', type=int, default=2)
     ap.add_argument('--out', type=str, default='artifacts')
     args = ap.parse_args()
 
@@ -53,31 +54,41 @@ def main():
 
     points = []
     for lam, lam_end in LAMBDAS:
-        psnrs, bpps, kbs = [], [], []
+        psnrs, bpps, bpps_h, kbs = [], [], [], []
         for i in range(args.images):
             img = synth_photo(512, 768, seed=i)
-            ds = ImageDataset(np.asarray(img, np.float32), sample_mode='full')
-            tcfg = ImageTrainerConfig(
-                epochs=args.epochs, use_sga=True, decay_period=0.9,
-                temperature=0.1, norm='max', norm_every=10,
-                entropy_reg=lam, entropy_reg_end=lam_end,
-                log_every=-1, chunk_size=1000)
-            tr = ImageTrainer(tcfg, mcfg, ds, seed=i)
-            t0 = time.time()
-            summary = tr.train()
-            psnrs.append(float(summary['PSNR']))
-            bpps.append(float(summary['BPP']))
-            kbs.append(float(summary['total_size_kb']))
-            print(f'lam {lam:g}->{lam_end:g} img {i}: PSNR {psnrs[-1]:.2f} '
-                  f'BPP {bpps[-1]:.4f} ({time.time() - t0:.0f}s)', flush=True)
+            for s in range(args.seeds):
+                ds = ImageDataset(np.asarray(img, np.float32),
+                                  sample_mode='full')
+                tcfg = ImageTrainerConfig(
+                    epochs=args.epochs, use_sga=True, decay_period=0.9,
+                    temperature=0.1, norm='max', norm_every=10,
+                    entropy_reg=lam, entropy_reg_end=lam_end,
+                    log_every=-1, chunk_size=1000)
+                tr = ImageTrainer(tcfg, mcfg, ds, seed=100 * s + i)
+                t0 = time.time()
+                summary = tr.train()
+                psnrs.append(float(summary['PSNR']))
+                bpps.append(float(summary['BPP']))
+                bpps_h.append(float(summary.get('bpp_hist',
+                                                summary['BPP'])))
+                kbs.append(float(summary['total_size_kb']))
+                print(f'lam {lam:g}->{lam_end:g} img {i} seed {s}: '
+                      f'PSNR {psnrs[-1]:.2f} BPP {bpps[-1]:.4f} '
+                      f'({time.time() - t0:.0f}s)', flush=True)
         points.append({'entropy_reg': lam, 'entropy_reg_end': lam_end,
                        'psnr': round(float(np.mean(psnrs)), 3),
+                       'psnr_std': round(float(np.std(psnrs)), 3),
                        'bpp': round(float(np.mean(bpps)), 4),
+                       'bpp_hist': round(float(np.mean(bpps_h)), 4),
                        'size_kb': round(float(np.mean(kbs)), 2)})
 
     out = {'config': 'kodak-config (24 LODs F1 bw11, SGA+recalibration, '
                      f'{args.epochs} epochs), {args.images} synthetic '
-                     '768x512 images, range-coder codestream sizes',
+                     f'768x512 images x {args.seeds} seeds; headline size '
+                     'is the prob-model-CDF codestream (+BitEstimator '
+                     'params); bpp_hist is the histogram stream with '
+                     'alphabet+CDF side info counted',
            'points': points}
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, 'kodak_rd_sweep.json'), 'w') as f:
