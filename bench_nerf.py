@@ -158,10 +158,13 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
     }
 
 
-def measure_voxel(paged: bool = True, iters: int = 30):
-    """V8-shaped 'voxel' DDA-marching throughput (RTMV config: 20 LODs bw17
-    latent_dim 2 F4, 16 steps/cell, blas 7).  With ``paged``, each
-    intersected cell's sample group rides the block-local encode kernels."""
+def measure_voxel(paged: bool = True, iters: int = 200,
+                  term_tau: float = 0.0):
+    """V8-shaped 'voxel' DDA-marching SUSTAINED throughput (RTMV config:
+    20 LODs bw17 latent_dim 2 F4, 16 steps/cell, blas 7, prune/100 like the
+    reference nerf_V8.yaml:73) with adaptive budgets.  With ``paged``, each
+    intersected cell's sample group rides the block-local encode kernels;
+    ``term_tau`` adds transmittance culling of occluded cells."""
     import jax
     sys.path.insert(0, 'tests')
     from test_nerf import synthetic_scene
@@ -187,13 +190,16 @@ def measure_voxel(paged: bool = True, iters: int = 30):
     tcfg = rf_tracer.RFTracerConfig(
         raymarch_type='voxel', num_steps=16, bg_color='white',
         max_intersections=64, max_samples=262144,
-        eval_seg_budget=16384 if paged else 0)
-    cfg = MultiviewTrainerConfig(epochs=600, prune_every=-1, chunk_size=10,
+        eval_seg_budget=16384 if paged else 0, term_tau=term_tau)
+    cfg = MultiviewTrainerConfig(epochs=600, prune_every=100, chunk_size=50,
                                  rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
-                                 entropy_reg=1e-4, entropy_reg_end=1e-4)
+                                 entropy_reg=1e-4, entropy_reg_end=1e-4,
+                                 adaptive_budget=True, min_budget=8192)
     tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)
-    tr.train(num_iterations=10)
+    # 300 iterations: prune fires 3x, budgets settle (recompiles included
+    # in warmup, excluded from the measured window)
+    tr.train(num_iterations=300)
     np.asarray(tr.params['grid']['codebook'][0:1])
     t0 = time.time()
     tr.train(num_iterations=iters)
@@ -201,14 +207,16 @@ def measure_voxel(paged: bool = True, iters: int = 30):
     dt = time.time() - t0
     rays_s = 4096 * iters / dt
     return {
-        'metric': 'nerf_voxel_train_rays_per_s',
+        'metric': 'nerf_voxel_train_rays_per_s_pruned_sustained',
         'value': round(rays_s, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_s / A100_REF_RAYS_S, 3),
+        'sample_budget': tr.active_tracer_cfg.max_samples,
+        'eval_seg_budget': tr.active_tracer_cfg.eval_seg_budget,
         'config': 'V8-shaped: 20 LODs bw17 F4 latent2, voxel-march 16 '
-                  'steps/cell, 4096 rays/iter'
-                  + (', paged encode (16384-cell eval budget)'
-                     if paged else ''),
+                  'steps/cell, 4096 rays/iter, prune/100 + adaptive budgets'
+                  + (', paged encode' if paged else '')
+                  + (f', term_tau={term_tau}' if term_tau > 0 else ''),
     }
 
 
@@ -229,7 +237,8 @@ def main():
         return
     if '--voxel' in sys.argv:
         print(json.dumps(measure_voxel(paged='--paged' in sys.argv,
-                                       iters=iters)))
+                                       iters=max(iters, 200),
+                                       term_tau=term_tau)))
         return
     paged = '--paged' in sys.argv
     print(json.dumps(measure(paged=paged, iters=iters,
