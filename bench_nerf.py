@@ -86,7 +86,8 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
 
 def measure_pruned(iters: int = 200, coarse_level: int = 7,
                    seg_dilation: int = 2, seg_budget: int = 32768,
-                   fine_mode: str = 'deferred', term_tau: float = 0.0):
+                   fine_mode: str = 'deferred', term_tau: float = 0.0,
+                   group_seg_size: int = 0):
     """Sustained rays/s on the reference's ACTUAL lego workload: pruning
     every 100 iterations (nerf_lego.yaml) with adaptive sample/segment
     budgets.  After the occupancy grid settles (~7% cells), every stage
@@ -121,7 +122,8 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                     seg_dilation=seg_dilation,
                                     seg_budget=seg_budget,
                                     eval_seg_budget=24576,
-                                    group_seg_size=0, group_segs_per_block=8,
+                                    group_seg_size=group_seg_size,
+                                    group_segs_per_block=8,
                                     fine_mode=fine_mode, term_tau=term_tau)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=100, chunk_size=50,
                                  rng_impl='unsafe_rbg',
@@ -230,10 +232,14 @@ def main():
     term_tau = 0.0
     if '--term-tau' in sys.argv:
         term_tau = float(sys.argv[sys.argv.index('--term-tau') + 1])
+    gss = 0
+    if '--gss' in sys.argv:
+        gss = int(sys.argv[sys.argv.index('--gss') + 1])
     if '--pruned' in sys.argv:
         print(json.dumps(measure_pruned(iters=max(iters, 200),
                                         fine_mode=fine_mode,
-                                        term_tau=term_tau)))
+                                        term_tau=term_tau,
+                                        group_seg_size=gss)))
         return
     if '--voxel' in sys.argv:
         print(json.dumps(measure_voxel(paged='--paged' in sys.argv,

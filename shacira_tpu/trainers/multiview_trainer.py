@@ -512,7 +512,15 @@ class MultiviewTrainer:
             return
 
         def pow2(x):
-            return 1 << int(np.ceil(np.log2(max(x, 1.0))))
+            """Smallest ladder value >= x on the {2^k, 1.5*2^k} rungs.
+            3/4*2^k sits between powers of two, so budgets track the live
+            count ~25% tighter than a pure pow2 ladder at the cost of one
+            extra rung of compile-cache entries; rungs stay multiples of
+            128 for every budget >= 512 (Mosaic block alignment)."""
+            p = 1 << int(np.ceil(np.log2(max(x, 1.0))))
+            if x <= 0.75 * p and (3 * p) % 512 == 0:
+                return (3 * p) // 4
+            return p
 
         if base.raymarch_type == 'ray':
             expected = (self._occupied_sample_fraction()
