@@ -82,6 +82,11 @@ class ImageTrainerConfig:
     # transfers, which dominate wreplace/woreplace throughput through a
     # remote relay).  Falls back to host batches when False.
     device_sampling: bool = True
+    # keep the HBM-resident image as uint8 when that is lossless (the image
+    # came from an 8-bit source): 4x less HBM + host->device transfer —
+    # giga-images (pearl: 67 Mpix = 800 MB f32 vs 200 MB u8) otherwise
+    # stress the relay; batches dequantize to f32 after the gather.
+    device_image_u8: bool = True
     # logging / lifecycle (ref base_trainer.py:334,377-443)
     log_every: int = 1000
     valid_every: int = -1            # epochs between full-image validations
@@ -299,7 +304,8 @@ class ImageTrainer:
         mesh the drawn batch is sharded across the data axis (image/perm
         replicated; XLA partitions the encode and psums parameter grads).
         """
-        key = ('dev_chunk', use_sga, mode)
+        u8 = getattr(self, '_dev_u8', False)
+        key = ('dev_chunk', use_sga, mode, u8)
         if key in self._fns:
             return self._fns[key]
         step = self._raw_step(use_sga)
@@ -331,6 +337,14 @@ class ImageTrainer:
                 coords = jnp.stack([(rr / h - 0.5) * 2.0,
                                     (cc / w - 0.5) * 2.0], axis=-1)
                 gt = jnp.take(img_flat, idx, axis=0)
+                if u8:
+                    # exact dequant via a 256-entry LUT: k * (1/255) and
+                    # reciprocal-multiply lowerings differ from
+                    # float32(k/255) by an ulp for some k; the LUT
+                    # reproduces the f32-resident values bit-for-bit
+                    lut = jnp.asarray(
+                        (np.arange(256) / 255.0).astype(np.float32))
+                    gt = jnp.take(lut, gt.astype(jnp.int32))
                 params, opt_state, noise, metrics = step(
                     params, opt_state, noise, coords, gt, None, k_step,
                     x['ent_lambda'], x['temperature'], x['lr_ldec'],
@@ -542,7 +556,16 @@ class ImageTrainer:
             # tail overlaps the previous batch instead of repeating the
             # batch head).  'wreplace' draws from the jax PRNG instead of
             # the dataset's numpy stream (same distribution).
-            self._dev_img = jnp.asarray(ds.rgb)
+            self._dev_u8 = False
+            rgb = np.asarray(ds.rgb, np.float32)
+            if cfg.device_image_u8:
+                q = rgb * 255.0
+                qr = np.rint(q)
+                if float(np.abs(q - qr).max()) < 1e-3:   # 8-bit source
+                    self._dev_img = jnp.asarray(qr.astype(np.uint8))
+                    self._dev_u8 = True
+            if not self._dev_u8:
+                self._dev_img = jnp.asarray(rgb)
             self._dev_perm = (jnp.asarray(ds.shuffle_idx, jnp.int32)
                               if ds.shuffle_idx is not None
                               else jnp.zeros((1,), jnp.int32))

@@ -176,3 +176,39 @@ def test_resample_fires_once_per_epoch():
     trainer.train(finalize=False)
     # epochs 2 and 3 start -> exactly 2 resamples (never within a chunk run)
     assert len(calls) == 2, len(calls)
+
+
+def test_device_image_u8_matches_f32():
+    """device_image_u8: for an 8-bit-source image the uint8 HBM-resident
+    copy dequantizes to the exact f32 values, so training is bit-identical
+    to the f32-resident path (same device-side batch draws)."""
+    import numpy as np
+    from shacira_tpu.datasets.image import ImageDataset
+    from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    from shacira_tpu.models.nefs.image import NeuralImageConfig
+    from shacira_tpu.trainers.image_trainer import (ImageTrainer,
+                                                    ImageTrainerConfig)
+    rng = np.random.RandomState(3)
+    img = (rng.randint(0, 256, (32, 48, 3)) / 255.0).astype(np.float32)
+    grid = LatentGridConfig.from_geometric(
+        feature_dim=1, num_lods=3, min_grid_res=4, max_grid_res=16,
+        latent_dim=1, resolution_dim=2, feature_std=1.0,
+        codebook_bitwidth=8, num_prob_layers=1, entropy_enabled=True,
+    ).with_ldec(dict(norm='none', ldecode_matrix='sq', use_shift=True,
+                     ldec_std=0.1, use_sga=True, diff_sampling=True))
+    mcfg = NeuralImageConfig(grid=grid, hidden_dim=8, num_layers=1)
+
+    def run(u8):
+        tcfg = ImageTrainerConfig(epochs=4, use_sga=True, temperature=0.5,
+                                  entropy_reg=1e-3, entropy_reg_end=1e-4,
+                                  log_every=-1, chunk_size=4,
+                                  device_image_u8=u8)
+        ds = ImageDataset(img, sample_mode='wreplace', num_samples=256)
+        tr = ImageTrainer(tcfg, mcfg, ds, seed=0)
+        tr.train(finalize=False)
+        assert getattr(tr, '_dev_u8', False) == u8
+        return np.asarray(tr.params['grid']['codebook'])
+
+    cb_u8 = run(True)
+    cb_f32 = run(False)
+    np.testing.assert_array_equal(cb_u8, cb_f32)
