@@ -143,7 +143,13 @@ class ImageTrainer:
         # no gathers/scatters at all
         self.plan_meta = None
         self.plan_arrays = None
-        if getattr(dataset, 'static_coords', False):
+        # gate on the top LOD resolution: the lattice factorization
+        # materializes per-LOD [res, res, F] dense slices (plus butterfly
+        # backward temps of the same order), so giga-image grids
+        # (pearl: max_grid_res 10725) would allocate tens of GB of HLO
+        # temps — those configs stay on the gather path
+        if (getattr(dataset, 'static_coords', False)
+                and model_cfg.grid.spec.resolutions[-1] <= 4096):
             from shacira_tpu.ops.lattice import build_image_lattice
             self.plan_meta, arrays = build_image_lattice(
                 dataset.h, dataset.w, model_cfg.grid.spec)
@@ -694,22 +700,39 @@ class ImageTrainer:
             out['bpp_hist'] = total_h / npix
         return out
 
+    # giga-image render tiling: one jit call on all coords would allocate
+    # npix x (encode width + hidden) activations (67 Mpix pearl: >10 GB) —
+    # chunk the prediction when the image exceeds this many pixels
+    RENDER_CHUNK_PIX = 4 * 1024 * 1024
+
     def render(self, params=None) -> np.ndarray:
         """Full-image prediction in row-major [H, W, 3] (eval path: STE round)."""
         params = params if params is not None else self.params
         ds = self.dataset
         from shacira_tpu.datasets.image import pixel_coords
-        coords = jnp.asarray(pixel_coords(ds.h, ds.w))
+        coords = np.asarray(pixel_coords(ds.h, ds.w))
         encoder = None
         if self.plan_meta is not None:
             from shacira_tpu.ops.lattice import lattice_encode
             meta = self.plan_meta
             arrays = self.plan_arrays
             encoder = lambda decoded: lattice_encode(arrays, decoded, meta)
-        pred = jax.jit(functools.partial(
+        fn = jax.jit(functools.partial(
             neural_image_rgb, cfg=self.model_cfg, use_sga=False,
-            encoder=encoder))(params, coords=coords)
-        return np.asarray(pred).reshape(ds.h, ds.w, 3)
+            encoder=encoder))
+        npix = coords.shape[0]
+        if encoder is not None or npix <= self.RENDER_CHUNK_PIX:
+            pred = np.asarray(fn(params, coords=jnp.asarray(coords)))
+            return pred.reshape(ds.h, ds.w, 3)
+        # fixed-size tiles (one compiled shape); the tail tile overlaps
+        chunk = self.RENDER_CHUNK_PIX
+        pred = np.empty((npix, 3), np.float32)
+        for s in range(0, npix, chunk):
+            e = min(s + chunk, npix)
+            s0 = e - chunk
+            out = np.asarray(fn(params, coords=jnp.asarray(coords[s0:e])))
+            pred[s:e] = out[s - s0:]
+        return pred.reshape(ds.h, ds.w, 3)
 
     def finalize(self) -> Dict:
         """Best-state metrics with real arithmetic-coded size (ref :471-514)."""
