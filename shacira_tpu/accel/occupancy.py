@@ -184,36 +184,49 @@ def raymarch_voxel(state, cfg: OccupancyGridConfig, rays: Rays,
 
     cell_w = 2.0 / res
 
-    def per_ray(o_r, d_r, tmin_r, tmax_r, hit_r):
-        # DDA: step cell-by-cell; record [entry, exit] of occupied cells.
+    # DDA with a SCALAR scan carry: each step records (entry t, exit t,
+    # occupied) POSITIONALLY into the scan's stacked outputs; occupied
+    # crossings then compact into the [R, max_intersections] slot layout
+    # with one batched scatter.  (A carried [R, I] pair updated with
+    # .at[count].set lowers under vmap to a one-hot select over all I
+    # slots per DDA step — ~R*I*steps VPU ops — and dominated the voxel
+    # path's wall.)
+    def per_ray(o_r, d_r, tmin_r, tmax_r):
         eps = 1e-6
 
-        def body(carry, _):
-            t, count, entries, exits = carry
+        def body(t, _):
             p = o_r + d_r * (t + eps)
             idx = jnp.floor((p * 0.5 + 0.5) * res).astype(jnp.int32)
             inside = jnp.all((idx >= 0) & (idx < res)) & (t < tmax_r)
             idxc = jnp.clip(idx, 0, res - 1)
             # exit t of current cell along each axis
             bounds = (idxc + (d_r > 0)) * cell_w - 1.0
-            t_exit = jnp.min((bounds - o_r) / jnp.where(jnp.abs(d_r) < 1e-9, 1e-9, d_r))
+            t_exit = jnp.min((bounds - o_r)
+                             / jnp.where(jnp.abs(d_r) < 1e-9, 1e-9, d_r))
             t_exit = jnp.maximum(t_exit, t + eps)
             occ = state['occ'][idxc[0], idxc[1], idxc[2]] & inside
-            entries = jnp.where(occ, entries.at[count].set(t), entries)
-            exits = jnp.where(occ, exits.at[count].set(jnp.minimum(t_exit, tmax_r)), exits)
-            count = count + occ.astype(jnp.int32)
-            count = jnp.minimum(count, max_intersections - 1)
-            return (t_exit, count, entries, exits), None
+            return t_exit, (t, jnp.minimum(t_exit, tmax_r), occ)
 
         n_cells_max = 3 * res + 2
-        entries = jnp.zeros((max_intersections,))
-        exits = jnp.zeros((max_intersections,))
-        (tend, count, entries, exits), _ = jax.lax.scan(
-            body, (tmin_r, jnp.int32(0), entries, exits), None, length=n_cells_max)
-        valid = (jnp.arange(max_intersections) < count) & hit_r
-        return entries, exits, valid
+        _, (t_ent, t_exi, occ_l) = jax.lax.scan(
+            body, tmin_r, None, length=n_cells_max)
+        return t_ent, t_exi, occ_l                        # [L] each
 
-    entries, exits, ivalid = jax.vmap(per_ray)(o, d, tmin, tmax, hit_box)
+    t_ent, t_exi, occ_l = jax.vmap(per_ray)(o, d, tmin, tmax)  # [R, L]
+    occ_l = occ_l & hit_box[:, None]
+    rank = jnp.cumsum(occ_l.astype(jnp.int32), axis=1) - 1     # live rank
+    kept = occ_l & (rank < max_intersections)
+    slot = jnp.where(kept, rank, max_intersections)            # pad column
+    r_iota = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None], slot.shape)
+    flat = (r_iota * (max_intersections + 1) + slot).reshape(-1)
+    shape_p = (R * (max_intersections + 1),)
+    entries = jnp.zeros(shape_p).at[flat].set(t_ent.reshape(-1))
+    exits = jnp.zeros(shape_p).at[flat].set(t_exi.reshape(-1))
+    entries = entries.reshape(R, max_intersections + 1)[:, :-1]
+    exits = exits.reshape(R, max_intersections + 1)[:, :-1]
+    count = jnp.sum(kept, axis=1)                              # [R]
+    ivalid = (jnp.arange(max_intersections)[None, :] < count[:, None])
     # sample num_steps per interval (ref sample_from_depth_intervals)
     u = jax.random.uniform(rng, (R, max_intersections, num_steps))
     frac = (jnp.arange(num_steps) + u) / num_steps
