@@ -731,3 +731,54 @@ def test_trainer_term_tau_trains():
     assert np.isfinite(np.asarray(tr.params['grid']['codebook'])).all()
     img = tr.render_view(0)
     assert np.isfinite(img).all()
+
+
+def test_group_seg_size_renders_identically():
+    """group_seg_size (sub-segment grouping granularity) only changes which
+    kernel blocks the rows land in — with ample budgets the paged render
+    must match the whole-segment grouping exactly, in both fine modes."""
+    cfg = occ.OccupancyGridConfig(level=5)
+    state = occ.occupancy_init(cfg)
+    res = cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.55 ** 2
+    state = {**state, 'occ': jnp.asarray(sphere)}
+
+    def encode_fn(coords, grouping):
+        return jnp.concatenate([jnp.sin(2.0 * coords), coords ** 2], -1)
+
+    def head_fn(feats, dirs):
+        color = 0.5 + 0.4 * jnp.tanh(feats[..., :3] + dirs)
+        density = 3.0 * jax.nn.sigmoid(jnp.sum(feats[..., 3:], -1,
+                                               keepdims=True))
+        return color, density
+
+    R, S = 32, 256
+    rng_rays = np.random.RandomState(3)
+    o = np.asarray([[2.0, 0.3, 0.1]], np.float32) + np.zeros((R, 3),
+                                                             np.float32)
+    to_pts = rng_rays.uniform(-0.8, 0.8, (R, 3)).astype(np.float32)
+    d = to_pts - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(o, d, 0.0, 4.0)
+    key = jax.random.PRNGKey(11)
+
+    def run(gss, fine_mode):
+        tc = rf_tracer.RFTracerConfig(
+            raymarch_type='ray', num_steps=S, bg_color='white',
+            max_samples=4096, segment_size=8, seg_budget=1024,
+            coarse_level=4, seg_dilation=2, eval_seg_budget=1024,
+            group_segs_per_block=4, group_seg_size=gss,
+            fine_mode=fine_mode)
+        return rf_tracer.trace(None, state, cfg, tc, rays, key,
+                               encode_split=(encode_fn, head_fn))
+
+    for fm in ('exact', 'deferred'):
+        base = run(0, fm)
+        sub = run(4, fm)
+        for ch in ('rgb', 'alpha', 'depth'):
+            np.testing.assert_allclose(np.asarray(sub[ch]),
+                                       np.asarray(base[ch]),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f'{fm}:{ch}')
