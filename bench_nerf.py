@@ -123,7 +123,11 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                     seg_budget=seg_budget,
                                     eval_seg_budget=24576,
                                     group_seg_size=group_seg_size,
-                                    group_segs_per_block=8,
+                                    # kernel blocks must stay >=128 rows
+                                    # (Mosaic lane reshape limit)
+                                    group_segs_per_block=(
+                                        max(8, 128 // group_seg_size)
+                                        if group_seg_size else 8),
                                     fine_mode=fine_mode, term_tau=term_tau)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=100, chunk_size=50,
                                  rng_impl='unsafe_rbg',

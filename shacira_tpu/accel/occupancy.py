@@ -208,8 +208,11 @@ def raymarch_voxel(state, cfg: OccupancyGridConfig, rays: Rays,
             return t_exit, (t, jnp.minimum(t_exit, tmax_r), occ)
 
         n_cells_max = 3 * res + 2
+        # the scan is fixed-overhead-bound (386 sequential steps of one
+        # [R]-row gather each at res 128); unrolling amortizes the
+        # per-step bookkeeping ~8x
         _, (t_ent, t_exi, occ_l) = jax.lax.scan(
-            body, tmin_r, None, length=n_cells_max)
+            body, tmin_r, None, length=n_cells_max, unroll=8)
         return t_ent, t_exi, occ_l                        # [L] each
 
     t_ent, t_exi, occ_l = jax.vmap(per_ray)(o, d, tmin, tmax)  # [R, L]
