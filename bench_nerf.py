@@ -136,9 +136,14 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                  adaptive_budget=True, min_budget=8192)
     tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)
 
-    # 300 iterations: the prune cycle fires 3x and the budgets settle
-    # (recompiles included in warmup, excluded from the measured window)
-    tr.train(num_iterations=300)
+    # 1500 warmup iterations: the prune cycle fires repeatedly, densities
+    # grow toward their converged profile, and the adaptive budgets walk
+    # down their rungs (recompiles included in warmup, excluded from the
+    # measured window).  The real lego workload runs 30K iterations, so
+    # steady state — not the iteration-300 transient — is what "sustained"
+    # should measure: the r4 lego run logs ~100K rays/s at iteration 10K
+    # while the 300-iter transient measures ~60K.
+    tr.train(num_iterations=1500)
     np.asarray(tr.params['grid']['codebook'][0:1])
     t0 = time.time()
     tr.train(num_iterations=iters)
@@ -203,9 +208,10 @@ def measure_voxel(paged: bool = True, iters: int = 200,
                                  entropy_reg=1e-4, entropy_reg_end=1e-4,
                                  adaptive_budget=True, min_budget=8192)
     tr = MultiviewTrainer(cfg, mcfg, tcfg, data, num_rays=4096, seed=0)
-    # 300 iterations: prune fires 3x, budgets settle (recompiles included
-    # in warmup, excluded from the measured window)
-    tr.train(num_iterations=300)
+    # 1000 warmup iterations: prune fires repeatedly, densities approach
+    # their converged profile and budgets settle (recompiles included in
+    # warmup, excluded from the measured window; see measure_pruned)
+    tr.train(num_iterations=1000)
     np.asarray(tr.params['grid']['codebook'][0:1])
     t0 = time.time()
     tr.train(num_iterations=iters)
