@@ -676,12 +676,31 @@ class ImageTrainer:
                   and 'prob_model' in params['grid'])
         ldec_bits, latent_bits = lg.grid_size_bits(
             params['grid'], gcfg, use_codec=use_codec,
-            use_prob_model=has_pm, count_side_info=has_pm)
+            count_side_info=has_pm)
         rest_bits = non_grid_size_bits(params)
-        total = ldec_bits + latent_bits + rest_bits
         npix = self.dataset.h * self.dataset.w
         cb = np.asarray(params['grid']['codebook'])
-        out = {
+        out = {}
+        if has_pm:
+            # both DECODABLE streams: histogram + transmitted alphabet/CDF
+            # side info, and prob-model CDF + BitEstimator params.  The
+            # headline is whichever is smaller — the shared-across-LODs
+            # BitEstimator can fit a multi-modal latent distribution far
+            # worse than the empirical histogram (NeRF lego: 719 vs
+            # 155 kB), while on image configs the two are close.
+            _, pm_bits = lg.grid_size_bits(
+                params['grid'], gcfg, use_codec=use_codec,
+                use_prob_model=True, count_side_info=True)
+            out['latent_size_kb_hist'] = latent_bits / 8e3
+            out['total_size_kb_hist'] = (
+                ldec_bits + latent_bits + rest_bits) / 8e3
+            out['bpp_hist'] = (ldec_bits + latent_bits + rest_bits) / npix
+            out['latent_size_kb_pm'] = pm_bits / 8e3
+            out['stream'] = ('histogram' if latent_bits <= pm_bits
+                             else 'prob_model')
+            latent_bits = min(latent_bits, pm_bits)
+        total = ldec_bits + latent_bits + rest_bits
+        out.update({
             'ldec_size_kb': ldec_bits / 8e3,
             'latent_size_kb': latent_bits / 8e3,
             'remainder_size_kb': rest_bits / 8e3,
@@ -689,15 +708,7 @@ class ImageTrainer:
             'bpp': total / npix,
             'rounding_loss': float(np.mean(np.abs(cb - np.round(cb))))
             if self.ldecode_enabled else 0.0,
-        }
-        if has_pm:
-            _, hist_bits = lg.grid_size_bits(
-                params['grid'], gcfg, use_codec=use_codec,
-                count_side_info=True)
-            total_h = ldec_bits + hist_bits + rest_bits
-            out['latent_size_kb_hist'] = hist_bits / 8e3
-            out['total_size_kb_hist'] = total_h / 8e3
-            out['bpp_hist'] = total_h / npix
+        })
         return out
 
     # giga-image render tiling: one jit call on all coords would allocate

@@ -882,19 +882,28 @@ class MultiviewTrainer:
         has_pm = use_codec and 'prob_model' in params['grid']
         ldec_bits, latent_bits = lg.grid_size_bits(params['grid'], gcfg,
                                                    use_codec=use_codec,
-                                                   use_prob_model=has_pm,
                                                    count_side_info=has_pm)
         rest = (mlp_mod.mlp_size_bits(params['decoder_density'])
                 + mlp_mod.mlp_size_bits(params['decoder_color']))
-        total = ldec_bits + latent_bits + rest
-        out = {'ldec_size_kb': ldec_bits / 8e3,
-               'latent_size_kb': latent_bits / 8e3,
-               'remainder_size_kb': rest / 8e3,
-               'total_size_kb': total / 8e3}
+        out = {}
         if has_pm:
-            _, hist_bits = lg.grid_size_bits(params['grid'], gcfg,
-                                             use_codec=use_codec,
-                                             count_side_info=True)
-            out['latent_size_kb_hist'] = hist_bits / 8e3
-            out['total_size_kb_hist'] = (ldec_bits + hist_bits + rest) / 8e3
+            # headline = smaller DECODABLE stream (see ImageTrainer
+            # .size_report: the shared BitEstimator fits NeRF's multi-LOD
+            # latent distribution far worse than the histogram)
+            _, pm_bits = lg.grid_size_bits(params['grid'], gcfg,
+                                           use_codec=use_codec,
+                                           use_prob_model=True,
+                                           count_side_info=True)
+            out['latent_size_kb_hist'] = latent_bits / 8e3
+            out['total_size_kb_hist'] = (ldec_bits + latent_bits
+                                         + rest) / 8e3
+            out['latent_size_kb_pm'] = pm_bits / 8e3
+            out['stream'] = ('histogram' if latent_bits <= pm_bits
+                             else 'prob_model')
+            latent_bits = min(latent_bits, pm_bits)
+        total = ldec_bits + latent_bits + rest
+        out.update({'ldec_size_kb': ldec_bits / 8e3,
+                    'latent_size_kb': latent_bits / 8e3,
+                    'remainder_size_kb': rest / 8e3,
+                    'total_size_kb': total / 8e3})
         return out
