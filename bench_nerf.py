@@ -21,6 +21,26 @@ A100_REF_RAYS_S = 80000.0
 NORTH_STAR_RAYS_S = 3.0 * A100_REF_RAYS_S   # >=3x A100 (BASELINE.md)
 
 
+def lego_like_scene(views: int = 40, res: int = 128):
+    """The benchmark scene for SUSTAINED measurements: the same composite
+    SDF object `tools/make_synthetic_data.py nerf` renders for the
+    committed end-to-end lego runs.  A lego-class scene prunes to ~0.2-1%
+    occupancy, which is the regime the adaptive budgets + transmittance
+    culling operate in on the real workload; the solid analytic sphere
+    (`tests/test_nerf.synthetic_scene`) stays ~7% occupied and pins every
+    budget at its cap, under-reporting steady state by ~40%."""
+    import os
+    import sys as _sys
+    cache = f'/tmp/bench_scene_v{views}_r{res}'
+    if not os.path.isdir(cache):
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), 'tools'))
+        from make_synthetic_data import write_nerf_scene
+        write_nerf_scene(cache, views=views, val_views=1, res=res)
+    from shacira_tpu.datasets.nerf_synthetic import load_nerf_synthetic
+    return load_nerf_synthetic(cache, split='train', mip=0)
+
+
 def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
             seg_dilation: int = 1, seg_budget: int = 0,
             num_rays: int = 4096, fine_mode: str = 'deferred'):
@@ -95,7 +115,6 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
     steady-state throughput is well above the dense (unpruned) number."""
     import jax
     sys.path.insert(0, 'tests')
-    from test_nerf import synthetic_scene
     from shacira_tpu.models.grids.latent_grid import LatentGridConfig
     from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
     from shacira_tpu.tracers import rf_tracer
@@ -103,7 +122,7 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
         MultiviewTrainer, MultiviewTrainerConfig)
     import numpy as np
 
-    data = synthetic_scene(num_views=20, res=64)
+    data = lego_like_scene()
     grid = LatentGridConfig.from_geometric(
         feature_dim=4, num_lods=24, min_grid_res=16, max_grid_res=512,
         latent_dim=1, multiscale_type='cat', resolution_dim=3,
@@ -178,14 +197,13 @@ def measure_voxel(paged: bool = True, iters: int = 200,
     ``term_tau`` adds transmittance culling of occluded cells."""
     import jax
     sys.path.insert(0, 'tests')
-    from test_nerf import synthetic_scene
     from shacira_tpu.models.grids.latent_grid import LatentGridConfig
     from shacira_tpu.models.nefs.nerf import NeuralRadianceFieldConfig
     from shacira_tpu.tracers import rf_tracer
     from shacira_tpu.trainers.multiview_trainer import (
         MultiviewTrainer, MultiviewTrainerConfig)
 
-    data = synthetic_scene(num_views=20, res=64)
+    data = lego_like_scene()
     grid = LatentGridConfig.from_geometric(
         feature_dim=4, num_lods=20, min_grid_res=16, max_grid_res=512,
         latent_dim=2, multiscale_type='cat', resolution_dim=3,
