@@ -36,7 +36,9 @@ def lego_like_scene(views: int = 40, res: int = 128):
         _sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), 'tools'))
         from make_synthetic_data import write_nerf_scene
-        write_nerf_scene(cache, views=views, val_views=1, res=res)
+        import contextlib
+        with contextlib.redirect_stdout(_sys.stderr):
+            write_nerf_scene(cache, views=views, val_views=1, res=res)
     from shacira_tpu.datasets.nerf_synthetic import load_nerf_synthetic
     return load_nerf_synthetic(cache, split='train', mip=0)
 
