@@ -782,3 +782,21 @@ def test_group_seg_size_renders_identically():
                                        np.asarray(base[ch]),
                                        rtol=1e-5, atol=1e-5,
                                        err_msg=f'{fm}:{ch}')
+
+
+def test_raymarch_voxel_overflow_keeps_first_crossings():
+    """When a ray crosses more occupied cells than max_intersections, the
+    DDA keeps the FIRST I crossings in depth order, all marked valid."""
+    cfg = occ.OccupancyGridConfig(level=4)
+    state = occ.occupancy_init(cfg)      # all occupied: every cell hits
+    rays = make_rays(np.asarray([[-2.0, 0.01, 0.02]], np.float32),
+                     np.asarray([[1.0, 0.0, 0.0]], np.float32), 0.0, 4.0)
+    I, S = 4, 2                          # res 16 -> ~16 crossings >> I
+    m = occ.raymarch_voxel(state, cfg, rays, S, jax.random.PRNGKey(0), I)
+    mask = np.asarray(m['mask']).reshape(1, I, S)
+    depth = np.asarray(m['depth']).reshape(1, I, S)
+    assert mask.all(), mask              # all I slots filled
+    # crossings ascend in depth and start at the box entry (x=-1 -> t=1)
+    starts = depth[0, :, 0]
+    assert np.all(np.diff(starts) > 0), starts
+    assert abs(starts[0] - 1.0) < 0.2, starts
