@@ -116,6 +116,24 @@ def prune_update(state, cfg: OccupancyGridConfig, density, *,
     return {'density': d, 'occ': occ_new}
 
 
+def march_uniform(rng, shape):
+    """Jitter source for the raymarchers: either a PRNG key (drawn here) or
+    a pre-drawn U(0,1) array of exactly ``shape``.
+
+    shard_map'd traces (``rf_tracer`` sharded over the ray axis) draw ONE
+    bulk uniform outside the manual region and pass per-device row slices
+    in, so every device jitters its own rays without per-device key
+    plumbing — and the sharded trace samples the exact same points as the
+    single-device one (the equivalence tests rely on this).
+    """
+    if hasattr(rng, 'ndim') and rng.ndim >= 2:
+        if tuple(rng.shape) != tuple(shape):
+            raise ValueError(
+                f'pre-drawn march jitter shape {rng.shape} != {shape}')
+        return rng
+    return jax.random.uniform(rng, shape)
+
+
 def cell_centers_jittered(cfg: OccupancyGridConfig, rng):
     """One uniform sample inside every cell, in [-1,1]^3 (ref nerf.py:160-165)."""
     res = cfg.res
@@ -144,7 +162,7 @@ def raymarch_ray(state, cfg: OccupancyGridConfig, rays: Rays, num_steps: int,
     """
     R = rays.origins.shape[0]
     base = jnp.linspace(0.0, 1.0, num_steps)
-    jitter = jax.random.uniform(rng, (R, num_steps)) / num_steps
+    jitter = march_uniform(rng, (R, num_steps)) / num_steps
     t = base[None, :] + jitter
     dmin = jnp.broadcast_to(rays.dist_min, (R,))[:, None]
     dmax = jnp.broadcast_to(rays.dist_max, (R,))[:, None]
@@ -231,7 +249,7 @@ def raymarch_voxel(state, cfg: OccupancyGridConfig, rays: Rays,
     count = jnp.sum(kept, axis=1)                              # [R]
     ivalid = (jnp.arange(max_intersections)[None, :] < count[:, None])
     # sample num_steps per interval (ref sample_from_depth_intervals)
-    u = jax.random.uniform(rng, (R, max_intersections, num_steps))
+    u = march_uniform(rng, (R, max_intersections, num_steps))
     frac = (jnp.arange(num_steps) + u) / num_steps
     depth = entries[..., None] + (exits - entries)[..., None] * frac  # [R, I, S]
     depth = depth.reshape(R, -1)

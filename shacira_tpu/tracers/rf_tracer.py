@@ -98,6 +98,49 @@ class RFTracerConfig:
     term_tau: float = 0.0
 
 
+def march_jitter_shape(cfg: RFTracerConfig, num_rays: int):
+    """Shape of the bulk U(0,1) jitter array :func:`trace` consumes when the
+    caller pre-draws it instead of passing a key (see occ.march_uniform —
+    the shard_map'd trace path)."""
+    if cfg.raymarch_type == 'voxel':
+        return (num_rays, cfg.max_intersections, cfg.num_steps)
+    return (num_rays, cfg.num_steps)
+
+
+def per_device_cfg(cfg: RFTracerConfig, n: int) -> RFTracerConfig:
+    """Per-device tracer config for a trace shard_map'd over the ray axis.
+
+    Rays are independent, so a mesh of ``n`` devices runs the whole trace —
+    march, budgeted compactions, segment grouping, paged encode kernels,
+    compact integration — per device on R/n rays with every GLOBAL row
+    budget divided by ``n``.  Per-ray quantities (num_steps,
+    max_intersections, segment geometry) are unchanged.  With budgets
+    ample enough that nothing truncates, the sharded trace integrates
+    exactly the same samples as the single-device one; under budget
+    pressure the stride-drop rule applies per device shard instead of
+    globally (same uniform-drop semantics, device-local).
+
+    Raises ValueError when a budget does not divide ``n`` (callers fall
+    back to the GSPMD path).
+    """
+    import dataclasses
+
+    def div(v: int, name: str) -> int:
+        if v <= 0:
+            return v
+        if v % n:
+            raise ValueError(
+                f'{name}={v} must divide the mesh size {n} for the '
+                f'shard_map trace')
+        return v // n
+
+    return dataclasses.replace(
+        cfg,
+        max_samples=div(cfg.max_samples, 'max_samples'),
+        seg_budget=div(cfg.seg_budget, 'seg_budget'),
+        eval_seg_budget=div(cfg.eval_seg_budget, 'eval_seg_budget'))
+
+
 def integration_weights(density, deltas, mask):
     """Per-sample volume-rendering weights w_i (exclusive transmittance)."""
     tau = density * deltas * mask
@@ -338,7 +381,7 @@ def coarse_segment_live(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
 
     # same sampling as occ.raymarch_ray (octree_as.py:252-259)
     base = jnp.linspace(0.0, 1.0, S)
-    jitter = jax.random.uniform(rng, (R, S)) / S
+    jitter = occ.march_uniform(rng, (R, S)) / S
     t = base[None, :] + jitter
     dmin = jnp.broadcast_to(rays.dist_min, (R,))[:, None]
     dmax = jnp.broadcast_to(rays.dist_max, (R,))[:, None]

@@ -224,6 +224,96 @@ class MultiviewTrainer:
             def shard_rows(x):
                 return jax.lax.with_sharding_constraint(x, rows_sh)
 
+        affine = lg.supports_affine_fusion(gcfg)
+        use_paged = (gcfg.hash_layout == 'paged' and affine
+                     and tcfg.eval_seg_budget > 0
+                     and (tcfg.segment_size > 0
+                          or tcfg.raymarch_type == 'voxel'))
+
+        # ray-side SPMD: rays are independent, so with a mesh the WHOLE
+        # trace — march, budgeted compactions, segment grouping, paged
+        # encode kernels, compact integration — runs under jax.shard_map
+        # over the data axis at per-device budgets.  Without this, GSPMD
+        # reshards around every global cumsum/scatter/sort in the pipeline
+        # (~235 MB/step of collective-permutes measured at lego scale —
+        # see PARITY §2.11); inside shard_map those ops are device-local
+        # and the only step collectives left are the codebook-side ones
+        # plus the loss-gradient psum.
+        shard_ray_cfg = None
+        if mesh is not None and mesh.size > 1:
+            try:
+                shard_ray_cfg = rf_tracer.per_device_cfg(tcfg, mesh.size)
+            except ValueError:
+                shard_ray_cfg = None   # indivisible budgets: GSPMD path
+        self._shard_ray_active = shard_ray_cfg is not None
+
+        def run_trace(tcfg_loc, p, lat, occ_state, lod_mask,
+                      rays_o, rays_d, u):
+            """Build the field callables from (params, decoded latents) and
+            trace.  `u` is the pre-drawn march jitter (occ.march_uniform) so
+            the shard_map'd call samples identically to the single-device
+            one on each device's ray slice."""
+            if affine:
+                parts = lat
+
+                def field_fn(coords, dirs):
+                    return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
+                                              affine=parts,
+                                              lod_mask=lod_mask)
+
+                encode_split = None
+                if use_paged:
+                    # paged-encode split (ops/paged_hash.py): grid encode on
+                    # segment-grouped rows via the block-local MXU kernels.
+                    # 'ray' groups segment_size-sample segments; 'voxel'
+                    # groups each intersected cell's num_steps samples.
+                    seg_group = (tcfg_loc.num_steps
+                                 if tcfg_loc.raymarch_type == 'voxel'
+                                 else (tcfg_loc.group_seg_size
+                                       or tcfg_loc.segment_size))
+
+                    if tcfg_loc.fine_mode == 'kernel':
+                        # in-kernel fine occupancy rides the encode as
+                        # an extra row; split it off for the tracer
+                        ldim = gcfg.effective_latent_dim
+
+                        def zbar_fn(coords, grouping):
+                            zb = nerf_mod.nerf_zbar(
+                                p, mcfg, coords, grouping, seg_group,
+                                affine=parts,
+                                occ_slab=occ_state['occ_slab'],
+                                occ_res=mcfg.occ_cfg.res)
+                            return zb[:, :-ldim], zb[:, -ldim]
+                    else:
+                        def zbar_fn(coords, grouping):
+                            return nerf_mod.nerf_zbar(
+                                p, mcfg, coords, grouping,
+                                seg_group, affine=parts)
+
+                    def finish_fn(zbar_c, coords_c):
+                        return nerf_mod.nerf_finish_feats(
+                            p, mcfg, zbar_c, coords_c, affine=parts,
+                            lod_mask=lod_mask)
+
+                    def head_fn(feats, dirs):
+                        return nerf_mod.nerf_head(p, mcfg, feats, dirs)
+
+                    encode_split = (zbar_fn, finish_fn, head_fn)
+            else:
+                decoded = lat
+
+                def field_fn(coords, dirs):
+                    return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
+                                              decoded=decoded,
+                                              lod_mask=lod_mask)
+
+                encode_split = None
+
+            rays = make_rays(rays_o, rays_d, dist_min, dist_max)
+            return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
+                                   tcfg_loc, rays, u,
+                                   encode_split=encode_split)
+
         def step(params, opt_state, noise, occ_state, rays_o, rays_d, gt, rng,
                  ent_lambda, temperature, lr_ldec, refresh_noise, lod_mask):
             k_sga, k_noise, k_march = jax.random.split(rng, 3)
@@ -257,79 +347,44 @@ class MultiviewTrainer:
                 if shard_rows is not None:
                     noise_step = shard_rows(noise_step)
 
-            rays = make_rays(rays_o, rays_d, dist_min, dist_max)
-
             def loss_fn(p):
-                encode_split = None
-                # fused latent-width backward when the decoder is affine
-                if lg.supports_affine_fusion(gcfg):
-                    parts = lg.affine_parts(p['grid'], gcfg, use_sga=use_sga,
-                                            temperature=temperature, rng=k_sga)
+                # table-wide latent decode (codebook-side work) stays
+                # OUTSIDE the shard_map region: with shard_table_work it
+                # runs on T/n rows per device, and its product is what the
+                # per-device traces consume (one all-gather)
+                if affine:
+                    # fused latent-width backward when the decoder is affine
+                    lat = lg.affine_parts(p['grid'], gcfg, use_sga=use_sga,
+                                          temperature=temperature, rng=k_sga)
                     if shard_rows is not None:
                         # the SGA quantize of the full table runs on T/n
                         # rows per device; consumers (encode windows)
                         # all-gather the quantized rows once
-                        parts = (shard_rows(parts[0]),) + parts[1:]
-
-                    def field_fn(coords, dirs):
-                        return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
-                                                  affine=parts,
-                                                  lod_mask=lod_mask)
-
-                    # paged-encode split (ops/paged_hash.py): grid encode on
-                    # segment-grouped rows via the block-local MXU kernels.
-                    # 'ray' groups segment_size-sample segments; 'voxel'
-                    # groups each intersected cell's num_steps samples.
-                    if (gcfg.hash_layout == 'paged'
-                            and tcfg.eval_seg_budget > 0
-                            and (tcfg.segment_size > 0
-                                 or tcfg.raymarch_type == 'voxel')):
-                        seg_group = (tcfg.num_steps
-                                     if tcfg.raymarch_type == 'voxel'
-                                     else (tcfg.group_seg_size
-                                           or tcfg.segment_size))
-
-                        # deferred-direct split (rf_tracer.trace triple)
-                        if tcfg.fine_mode == 'kernel':
-                            # in-kernel fine occupancy rides the encode as
-                            # an extra row; split it off for the tracer
-                            ldim = gcfg.effective_latent_dim
-
-                            def zbar_fn(coords, grouping):
-                                zb = nerf_mod.nerf_zbar(
-                                    p, mcfg, coords, grouping, seg_group,
-                                    affine=parts,
-                                    occ_slab=occ_state['occ_slab'],
-                                    occ_res=mcfg.occ_cfg.res)
-                                return zb[:, :-ldim], zb[:, -ldim]
-                        else:
-                            def zbar_fn(coords, grouping):
-                                return nerf_mod.nerf_zbar(
-                                    p, mcfg, coords, grouping,
-                                    seg_group, affine=parts)
-
-                        def finish_fn(zbar_c, coords_c):
-                            return nerf_mod.nerf_finish_feats(
-                                p, mcfg, zbar_c, coords_c, affine=parts,
-                                lod_mask=lod_mask)
-
-                        def head_fn(feats, dirs):
-                            return nerf_mod.nerf_head(p, mcfg, feats, dirs)
-
-                        encode_split = (zbar_fn, finish_fn, head_fn)
+                        lat = (shard_rows(lat[0]),) + tuple(lat[1:])
                 else:
-                    decoded = lg.decode_codebook(
+                    lat = lg.decode_codebook(
                         p['grid'], gcfg, use_sga=use_sga,
                         temperature=temperature, rng=k_sga)
 
-                    def field_fn(coords, dirs):
-                        return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
-                                                  decoded=decoded,
-                                                  lod_mask=lod_mask)
-
-                rb = rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
-                                     tcfg, rays, k_march,
-                                     encode_split=encode_split)
+                u = occ.march_uniform(
+                    k_march,
+                    rf_tracer.march_jitter_shape(tcfg, rays_o.shape[0]))
+                if shard_ray_cfg is not None:
+                    from functools import partial
+                    from jax.sharding import PartitionSpec as P
+                    # check_vma=False: the paged Pallas kernels have no
+                    # varying-manual-axes rules; grads of the replicated-in
+                    # params still psum correctly (transpose follows
+                    # in_specs — equivalence-tested in tests/test_parallel)
+                    rb = jax.shard_map(
+                        partial(run_trace, shard_ray_cfg), mesh=mesh,
+                        in_specs=(P(), P(), P(), P(),
+                                  P('data'), P('data'), P('data')),
+                        out_specs=P('data'), check_vma=False)(
+                        p, lat, occ_state, lod_mask, rays_o, rays_d, u)
+                else:
+                    rb = run_trace(tcfg, p, lat, occ_state, lod_mask,
+                                   rays_o, rays_d, u)
                 rgb_loss = jnp.mean(jnp.abs(rb['rgb'] - gt))   # L1, ref :105-107
                 loss = cfg.rgb_loss_weight * rgb_loss
                 aux = {'rgb_loss': rgb_loss, 'rgb': rb['rgb']}
