@@ -173,19 +173,16 @@ def raymarch_ray(state, cfg: OccupancyGridConfig, rays: Rays, num_steps: int,
     return {'samples': samples, 'depth': depth, 'deltas': deltas, 'mask': mask}
 
 
-def raymarch_voxel(state, cfg: OccupancyGridConfig, rays: Rays,
-                   num_steps: int, rng, max_intersections: int = 64):
-    """'voxel' raymarching via fixed-step DDA along each ray.
+def voxel_crossings(state, cfg: OccupancyGridConfig, rays: Rays,
+                    max_intersections: int = 64):
+    """Occupied-cell crossings of the bounded DDA: dict with
+    ``entries [R, I]``, ``exits [R, I]``, ``valid [R, I]`` bool —
+    depth-ordered per ray (the DDA walks front-to-back).
 
-    Fixed-shape re-design of OctreeAS._raymarch_voxel (octree_as.py:171-227):
-    instead of the kaolin raytrace kernel's variable intersection list, we
-    march the ray through the occupancy volume with a bounded DDA
-    (``max_intersections`` occupied-cell hits per ray), then draw
-    ``num_steps`` uniformly spaced samples inside each hit cell interval.
-
-    Returns the same dict layout as :func:`raymarch_ray` with
-    S = max_intersections * num_steps.
-    """
+    This is the cheap half of :func:`raymarch_voxel`; the paged voxel
+    trace consumes crossings directly and samples only the
+    eval-budget survivors (fused stage-2), never materializing the
+    [R, I*num_steps] sample tensors."""
     R = rays.origins.shape[0]
     res = cfg.res
     o, d = rays.origins, rays.dirs
@@ -248,6 +245,26 @@ def raymarch_voxel(state, cfg: OccupancyGridConfig, rays: Rays,
     exits = exits.reshape(R, max_intersections + 1)[:, :-1]
     count = jnp.sum(kept, axis=1)                              # [R]
     ivalid = (jnp.arange(max_intersections)[None, :] < count[:, None])
+    return {'entries': entries, 'exits': exits, 'valid': ivalid}
+
+
+def raymarch_voxel(state, cfg: OccupancyGridConfig, rays: Rays,
+                   num_steps: int, rng, max_intersections: int = 64):
+    """'voxel' raymarching via fixed-step DDA along each ray.
+
+    Fixed-shape re-design of OctreeAS._raymarch_voxel (octree_as.py:171-227):
+    instead of the kaolin raytrace kernel's variable intersection list, we
+    march the ray through the occupancy volume with a bounded DDA
+    (``max_intersections`` occupied-cell hits per ray), then draw
+    ``num_steps`` uniformly spaced samples inside each hit cell interval.
+
+    Returns the same dict layout as :func:`raymarch_ray` with
+    S = max_intersections * num_steps.
+    """
+    R = rays.origins.shape[0]
+    o, d = rays.origins, rays.dirs
+    c = voxel_crossings(state, cfg, rays, max_intersections)
+    entries, exits, ivalid = c['entries'], c['exits'], c['valid']
     # sample num_steps per interval (ref sample_from_depth_intervals)
     u = march_uniform(rng, (R, max_intersections, num_steps))
     frac = (jnp.arange(num_steps) + u) / num_steps

@@ -503,6 +503,69 @@ def _trace_ray_deferred(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
         valid=valid2)
 
 
+def crossing_term_mask(occ_state, occ_cfg, entries, exits, valid, rays,
+                       u_mid, S: int, term_tau: float):
+    """Transmittance culling on DDA crossings — :func:`voxel_term_mask`
+    without the ``[R, I*S]`` sample tensors (the fused voxel trace never
+    materializes them).  Same estimate: cached decayed-max density x
+    in-cell chord, exclusive-cumsum'd front-to-back; the cell 'midpoint'
+    is sample index S//2 of the SAME jitter draw, so the kept set matches
+    :func:`voxel_term_mask` bit-for-bit."""
+    chord = (exits - entries) * valid
+    depth_mid = entries + (exits - entries) * ((S // 2) + u_mid) / S
+    mid = (rays.origins[:, None, :]
+           + rays.dirs[:, None, :] * depth_mid[..., None])
+    res = occ_cfg.res
+    ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * res),
+                  0, res - 1).astype(jnp.int32)
+    dens = occ_state['density'][ci[..., 0], ci[..., 1], ci[..., 2]]
+    tau = dens * chord
+    cum = jnp.cumsum(tau, axis=-1) - tau                      # exclusive
+    return cum <= term_tau
+
+
+def _trace_voxel_fused(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
+                       rng):
+    """Fused voxel stage-2: compact DDA crossings to the eval budget FIRST,
+    then sample num_steps points only inside the surviving cells.
+
+    Produces exactly the ``seg2`` rows the materialize-then-take path
+    (raymarch_voxel -> [R, I*S] tensors -> _stage2_take) would — same
+    jitter rows, same stride compaction on the same flat (ray, crossing)
+    axis — without ever building the [R, I, S] sample/depth/delta tensors
+    (their stage-2 gather was the top remaining voxel cost after the DDA
+    rework, docs/ROOFLINE.md)."""
+    R = rays.origins.shape[0]
+    I, S = cfg.max_intersections, cfg.num_steps
+    c = occ.voxel_crossings(occ_state, occ_cfg, rays, I)
+    entries, exits, valid = c['entries'], c['exits'], c['valid']
+    u = occ.march_uniform(rng, (R, I, S))
+    if cfg.term_tau > 0:
+        valid = valid & crossing_term_mask(
+            occ_state, occ_cfg, entries, exits, valid, rays,
+            u[..., S // 2], S, cfg.term_tau)
+    k2 = cfg.eval_seg_budget
+    src2, valid2, _ = _stride_compact(valid.reshape(-1), k2)
+    r_id = src2 // I
+    ent2 = jnp.take(entries.reshape(-1), src2)
+    ext2 = jnp.take(exits.reshape(-1), src2)
+    u2 = jnp.take(u.reshape(R * I, S), src2, axis=0)
+    frac = (jnp.arange(S) + u2) / S
+    depth2 = ent2[:, None] + (ext2 - ent2)[:, None] * frac
+    delta2 = jnp.broadcast_to(((ext2 - ent2) / S)[:, None], (k2, S))
+    o2 = jnp.take(rays.origins, r_id, axis=0)
+    d2 = jnp.take(rays.dirs, r_id, axis=0)
+    samples2 = o2[:, None, :] + d2[:, None, :] * depth2[..., None]
+    return dict(
+        samples=samples2,
+        dirs=jnp.broadcast_to(d2[:, None, :], samples2.shape),
+        fine=jnp.broadcast_to(valid2[:, None], (k2, S)),
+        depth=depth2,
+        deltas=delta2,
+        ray=jnp.broadcast_to(r_id[:, None], (k2, S)),
+        valid=valid2)
+
+
 def voxel_term_mask(occ_state, occ_cfg, m, R: int, I: int, S: int,
                     term_tau: float):
     """Transmittance culling over DDA cell intersections: ``[R, I]`` bool,
@@ -688,27 +751,9 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
         # exactly inside the paged kernels' grouping cells (both power-of-2
         # grids) — so the DDA's intersection axis IS the segment axis, with
         # no coarse culling or fine query needed (live cells are occupied
-        # by construction).
-        m = occ.raymarch_voxel(occ_state, occ_cfg, rays, cfg.num_steps, rng,
-                               cfg.max_intersections)
-        I, S = cfg.max_intersections, cfg.num_steps
-        k = R * I
-        vmask = m['mask'].reshape(k, S)
-        if cfg.term_tau > 0:
-            keep = voxel_term_mask(occ_state, occ_cfg, m, R, I, S,
-                                   cfg.term_tau)
-            vmask = vmask & keep.reshape(k, 1)
-        seg = dict(
-            samples=m['samples'].reshape(k, S, 3),
-            dirs=jnp.broadcast_to(rays.dirs[:, None, None, :],
-                                  (R, I, S, 3)).reshape(k, S, 3),
-            mask=vmask,
-            depth=m['depth'].reshape(k, S),
-            deltas=m['deltas'].reshape(k, S),
-            ray=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None],
-                                 (R, I, S)).reshape(k, S),
-            seg_valid=None)
-        seg2 = _stage2_take(seg, cfg)
+        # by construction).  Fused stage-2: crossings compact to the eval
+        # budget before any per-sample tensor exists.
+        seg2 = _trace_voxel_fused(occ_state, occ_cfg, cfg, rays, rng)
         if len(encode_split) == 3:
             out = _trace_paged(encode_split[0], encode_split[2], seg2, cfg, R,
                                finish_fn=encode_split[1])
