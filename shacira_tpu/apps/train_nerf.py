@@ -149,16 +149,27 @@ def render_turntable(trainer, args, num_angles: int = None, res: int = None):
                                dist_min=float(d.dist_min),
                                dist_max=float(d.dist_max))
     mcfg, tcfg = trainer.model_cfg, trainer.tracer_cfg
-    decoded = jax.jit(lambda p: lg.decode_codebook(p['grid'], mcfg.grid))(
-        trainer.params)
+    if trainer.is_latent:
+        decoded = jax.jit(lambda p: lg.decode_codebook(p['grid'], mcfg.grid))(
+            trainer.params)
 
-    @jax.jit
-    def _trace(params, decoded, occ_state, rays, k):
-        def field_fn(coords, dirs):
-            return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
-                                      decoded=decoded)
-        return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
-                               tcfg, rays, k)
+        @jax.jit
+        def _trace(params, decoded, occ_state, rays, k):
+            def field_fn(coords, dirs):
+                return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
+                                          decoded=decoded)
+            return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
+                                   tcfg, rays, k)
+    else:
+        decoded = trainer.structure_tables   # eval-mode alternative backbone
+
+        @jax.jit
+        def _trace(params, decoded, occ_state, rays, k):
+            def field_fn(coords, dirs):
+                return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
+                                          structure=decoded, training=False)
+            return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
+                                   tcfg, rays, k)
 
     def trace_fn(rays, k):
         return _trace(trainer.params, decoded, trainer.occ_state, rays, k)

@@ -269,11 +269,38 @@ def apply_platform(args) -> None:
 # ---------------------------------------------------------------------------
 
 def build_grid_config(args, resolution_dim: int):
-    """LatentGrid/HashGrid config from parsed args (main_image.py:380-399)."""
+    """Grid config from parsed args — dispatches ``--grid-type`` to the
+    backbone family like the reference (main_nerf.py:371-505):
+    LatentGrid (SHACIRA), HashGrid (INGP, = LatentGrid with no latent
+    decoder), OctreeGrid (NGLOD), CodebookOctreeGrid (VQAD),
+    TriplanarGrid.  Octree/codebook structure (host-built, possibly from
+    the dataset pointcloud) is created by the trainer."""
     from shacira_tpu.models.grids.latent_grid import LatentGridConfig
+    grid_type = getattr(args, 'grid_type', 'LatentGrid')
+    if grid_type in ('OctreeGrid', 'CodebookOctreeGrid', 'TriplanarGrid'):
+        if resolution_dim != 3:
+            raise ValueError(f'{grid_type} is 3D-only (NeRF/SDF apps)')
+        base = dict(feature_dim=args.feature_dim, base_lod=args.base_lod,
+                    num_lods=args.num_lods,
+                    multiscale_type=args.multiscale_type,
+                    feature_std=args.feature_std,
+                    feature_bias=args.feature_bias)
+        if grid_type == 'OctreeGrid':
+            from shacira_tpu.models.grids.octree_grid import OctreeGridConfig
+            return OctreeGridConfig(**base)
+        if grid_type == 'CodebookOctreeGrid':
+            from shacira_tpu.models.grids.octree_grid import (
+                CodebookOctreeGridConfig)
+            return CodebookOctreeGridConfig(
+                codebook_bitwidth=args.codebook_bitwidth, **base)
+        from shacira_tpu.models.grids.triplanar_grid import TriplanarGridConfig
+        return TriplanarGridConfig(**base)
+    if grid_type not in ('LatentGrid', 'HashGrid'):
+        raise ValueError(f'Unknown grid_type: {grid_type}')
     common = dict(
         feature_dim=args.feature_dim,
-        latent_dim=args.latent_dim,
+        # HashGrid stores features directly (no latent indirection)
+        latent_dim=0 if grid_type == 'HashGrid' else args.latent_dim,
         multiscale_type=args.multiscale_type,
         resolution_dim=resolution_dim,
         feature_std=args.feature_std,
@@ -294,7 +321,9 @@ def build_grid_config(args, resolution_dim: int):
     else:
         cfg = LatentGridConfig.from_octree(
             base_lod=args.base_lod, num_lods=args.num_lods, **common)
-    if args.ldecode_enabled:
+    # 'HashGrid' = uncompressed INGP grid: same layout, no latent decoder
+    # regardless of the latent_decoder section (ref main_nerf.py:443-469)
+    if args.ldecode_enabled and grid_type != 'HashGrid':
         cfg = cfg.with_ldec(dict(
             norm=args.norm,
             ldecode_matrix=args.ldecode_matrix,

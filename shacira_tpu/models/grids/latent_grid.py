@@ -384,6 +384,12 @@ def stream_side_info_bits(params) -> int:
     bits = 0
     for c in range(cb.shape[1]):
         w = np.round(cb[:, c]).astype(np.int64)
+        # int16 alphabet values: SHACIRA latents round to a few hundred
+        # distinct small integers (the reference's torchac path makes the
+        # same implicit int16 assumption); guard rather than undercount
+        assert np.abs(w).max(initial=0) < 2 ** 15, (
+            f'latent magnitude {np.abs(w).max()} overflows the int16 '
+            'alphabet encoding of the side info')
         a = int(np.unique(w).shape[0])
         bits += 32 + 16 + a * 16 + a * 16
     return bits

@@ -67,6 +67,43 @@ class OctreeStructure:
         return cls(spc.Octree.from_pointcloud(pts, cfg.active_lods[-1],
                                               dilate=dilate), cfg.active_lods)
 
+    @classmethod
+    def from_mesh(cls, cfg: OctreeGridConfig, path_or_arrays,
+                  num_samples_on_mesh: int = 100_000, seed: int = 0,
+                  dilate: int = 0):
+        """Octree from a triangle mesh: sample the surface, quantize to the
+        top LOD (ref OctreeGrid.from_mesh, octree_grid.py:121-170 — the
+        reference samples ``num_samples_on_mesh`` surface points via
+        ``sample_spc`` then builds the SPC from them)."""
+        from shacira_tpu.ops import mesh as mesh_ops
+        if isinstance(path_or_arrays, str):
+            verts, faces = mesh_ops.load_obj(path_or_arrays)
+        else:
+            verts, faces = path_or_arrays
+        verts = mesh_ops.normalize_mesh(np.asarray(verts, np.float64))
+        rng = np.random.RandomState(seed)
+        surf = mesh_ops.sample_surface(rng, verts,
+                                       np.asarray(faces, np.int64),
+                                       num_samples_on_mesh)
+        return cls.from_pointcloud(cfg, np.clip(surf, -1, 1), dilate=dilate)
+
+    @classmethod
+    def from_spc(cls, cfg: OctreeGridConfig, octree: spc.Octree):
+        """Wrap an existing SPC/octree (ref OctreeGrid.from_spc,
+        octree_grid.py:213-249)."""
+        if octree.max_level < cfg.active_lods[-1]:
+            raise ValueError(
+                f'octree max_level {octree.max_level} < top active LOD '
+                f'{cfg.active_lods[-1]}')
+        return cls(octree, cfg.active_lods)
+
+    def tables(self) -> dict:
+        """Structure as a plain pytree (per-LOD code/trinket arrays in
+        ``active_lods`` order) so jitted trainers can pass it as an
+        argument instead of baking multi-hundred-MB constants."""
+        return {'codes': tuple(self.codes[l] for l in self.active_lods),
+                'trinkets': tuple(self.trinkets[l] for l in self.active_lods)}
+
 
 def octree_grid_init(rng, cfg: OctreeGridConfig, structure: OctreeStructure):
     """Per-LOD corner feature tables, N(bias, std) (ref octree_grid.py:273-276)."""
@@ -83,30 +120,38 @@ def _corner_feats_linear(params_lod, idx):
     return jnp.take(params_lod, idx, axis=0)
 
 
-def _interp_lod(feat_lookup, structure: OctreeStructure, coords, lod: int):
+def _as_tables(structure) -> dict:
+    """Accept either an OctreeStructure or its .tables() pytree."""
+    return structure.tables() if hasattr(structure, 'tables') else structure
+
+
+def _interp_lod(feat_lookup, codes, trinkets, coords, lod: int):
     """Trilinear interpolation at one LOD; zeros outside the octree."""
     cells = jnp.floor((coords * 0.5 + 0.5) * (2 ** lod)).astype(jnp.int32)
     cells = jnp.clip(cells, 0, 2 ** lod - 1)
-    pidx = spc.query_cells(structure.codes[lod], cells)
+    pidx = spc.query_cells(codes, cells)
     valid = pidx >= 0
     safe_pidx = jnp.maximum(pidx, 0)
-    corner_idx = jnp.take(structure.trinkets[lod], safe_pidx, axis=0)  # [N, 8]
+    corner_idx = jnp.take(trinkets, safe_pidx, axis=0)                 # [N, 8]
     cf = feat_lookup(corner_idx)                                       # [N, 8, F]
     w = spc.trilinear_coeffs(coords, cells, lod)                       # [N, 8]
     out = jnp.sum(cf * w[..., None], axis=-2)
     return jnp.where(valid[..., None], out, 0.0)
 
 
-def interpolate(params, cfg: OctreeGridConfig, structure: OctreeStructure,
-                coords):
-    """coords [..., 3] -> [..., output_dim] (ref interpolate, :320-391)."""
+def interpolate(params, cfg: OctreeGridConfig, structure, coords):
+    """coords [..., 3] -> [..., output_dim] (ref interpolate, :320-391).
+
+    ``structure``: OctreeStructure or its .tables() pytree."""
+    tables = _as_tables(structure)
     lead = coords.shape[:-1]
     c = coords.reshape(-1, 3)
     feats = []
     for i, lod in enumerate(cfg.active_lods):
         table = params['features'][i]
         feats.append(_interp_lod(lambda idx: jnp.take(table, idx, axis=0),
-                                 structure, c, lod))
+                                 tables['codes'][i], tables['trinkets'][i],
+                                 c, lod))
     stacked = jnp.stack(feats, axis=1)
     out = (stacked.sum(axis=1) if cfg.multiscale_type == 'sum'
            else stacked.reshape(stacked.shape[0], -1))
@@ -159,8 +204,9 @@ def _codebook_lookup(logits, dictionary, idx, training: bool):
 
 
 def codebook_interpolate(params, cfg: CodebookOctreeGridConfig,
-                         structure: OctreeStructure, coords, *,
+                         structure, coords, *,
                          training: bool = True):
+    tables = _as_tables(structure)
     lead = coords.shape[:-1]
     c = coords.reshape(-1, 3)
     feats = []
@@ -169,7 +215,7 @@ def codebook_interpolate(params, cfg: CodebookOctreeGridConfig,
         dictionary = params['dictionary'][i]
         feats.append(_interp_lod(
             lambda idx: _codebook_lookup(logits, dictionary, idx, training),
-            structure, c, lod))
+            tables['codes'][i], tables['trinkets'][i], c, lod))
     stacked = jnp.stack(feats, axis=1)
     out = (stacked.sum(axis=1) if cfg.multiscale_type == 'sum'
            else stacked.reshape(stacked.shape[0], -1))

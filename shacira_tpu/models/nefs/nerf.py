@@ -16,15 +16,34 @@ import jax
 import jax.numpy as jnp
 
 from shacira_tpu.models.grids import latent_grid as lg
+from shacira_tpu.models.grids import octree_grid as og
+from shacira_tpu.models.grids import triplanar_grid as tg
 from shacira_tpu.models import mlp as mlp_mod
 from shacira_tpu.models.embedders import PositionalEmbedderConfig, positional_embed
 from shacira_tpu.models.mlp import MLPConfig, mlp_init, mlp_apply
 from shacira_tpu.accel import occupancy as occ
 
 
+def grid_kind(grid_cfg) -> str:
+    """Backbone family of a grid config: 'latent' (SHACIRA LatentGrid or
+    uncompressed HashGrid), 'codebook' (VQAD), 'octree' (NGLOD), or
+    'triplanar' — the grid_type dispatch surface of the reference
+    (app/nerf/main_nerf.py:371-505)."""
+    if isinstance(grid_cfg, og.CodebookOctreeGridConfig):
+        return 'codebook'
+    if isinstance(grid_cfg, og.OctreeGridConfig):
+        return 'octree'
+    if isinstance(grid_cfg, tg.TriplanarGridConfig):
+        return 'triplanar'
+    return 'latent'
+
+
 @dataclass(frozen=True)
 class NeuralRadianceFieldConfig:
-    grid: lg.LatentGridConfig
+    # LatentGridConfig (SHACIRA / INGP-hash) or one of the alternative
+    # backbones: OctreeGridConfig, CodebookOctreeGridConfig,
+    # TriplanarGridConfig (all frozen dataclasses -> hashable/static)
+    grid: object
     hidden_dim: int = 128
     num_layers: int = 1
     activation: str = 'relu'
@@ -79,14 +98,25 @@ class NeuralRadianceFieldConfig:
         return occ.OccupancyGridConfig(self.blas_level)
 
 
-def nerf_init(rng, cfg: NeuralRadianceFieldConfig):
+def nerf_init(rng, cfg: NeuralRadianceFieldConfig, structure=None):
+    """``structure``: OctreeStructure for the octree/codebook backbones
+    (grid_kind); None for latent/triplanar."""
     kg, kd, kc = jax.random.split(rng, 3)
     density = mlp_init(kd, cfg.density_mlp_cfg)
     # reference inits the first density output bias to 1.0 (nerf.py:138)
     b = density['layers'][-1]['b']
     density['layers'][-1]['b'] = b.at[0].set(1.0)
+    kind = grid_kind(cfg.grid)
+    if kind == 'latent':
+        grid = lg.latent_grid_init(kg, cfg.grid)
+    elif kind == 'octree':
+        grid = og.octree_grid_init(kg, cfg.grid, structure)
+    elif kind == 'codebook':
+        grid = og.codebook_grid_init(kg, cfg.grid, structure)
+    else:
+        grid = tg.triplanar_grid_init(kg, cfg.grid)
     return {
-        'grid': lg.latent_grid_init(kg, cfg.grid),
+        'grid': grid,
         'decoder_density': density,
         'decoder_color': mlp_init(kc, cfg.color_mlp_cfg),
     }
@@ -97,12 +127,22 @@ def nerf_feats(params, cfg: NeuralRadianceFieldConfig, coords, *,
                rng: Optional[jax.Array] = None,
                decoded: Optional[jax.Array] = None,
                affine=None, lod_mask: Optional[jax.Array] = None,
-               grouping=None, seg_size: int = 0):
+               grouping=None, seg_size: int = 0,
+               structure=None, training: bool = True):
     """Grid features (+ positional embedding) at coords — the encode half of
     the field.  With ``grouping`` (from paged_hash.group_segments over
     segment-ordered rows) the paged fast path runs; otherwise the plain
-    interpolate."""
-    if grouping is not None:
+    interpolate.  ``structure``/``training`` serve the alternative
+    backbones (octree/codebook/triplanar; grid_kind)."""
+    kind = grid_kind(cfg.grid)
+    if kind == 'octree':
+        feats = og.interpolate(params['grid'], cfg.grid, structure, coords)
+    elif kind == 'codebook':
+        feats = og.codebook_interpolate(params['grid'], cfg.grid, structure,
+                                        coords, training=training)
+    elif kind == 'triplanar':
+        feats = tg.interpolate(params['grid'], cfg.grid, coords)
+    elif grouping is not None:
         feats = lg.interpolate_paged(params['grid'], cfg.grid, coords,
                                      grouping, seg_size, use_sga=use_sga,
                                      temperature=temperature, rng=rng,
@@ -183,7 +223,8 @@ def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
               use_sga: bool = False, temperature: float = 1.0,
               rng: Optional[jax.Array] = None,
               decoded: Optional[jax.Array] = None,
-              affine=None, lod_mask: Optional[jax.Array] = None):
+              affine=None, lod_mask: Optional[jax.Array] = None,
+              structure=None, training: bool = True):
     """coords [..., 3], ray_d [..., 3] -> (rgb [..., 3], density [..., 1]).
 
     Mirrors NeuralRadianceField.rgba (nerf.py:192-234) incl. the negated view
@@ -191,7 +232,8 @@ def nerf_rgba(params, cfg: NeuralRadianceFieldConfig, coords, ray_d, *,
     """
     feats = nerf_feats(params, cfg, coords, use_sga=use_sga,
                        temperature=temperature, rng=rng, decoded=decoded,
-                       affine=affine, lod_mask=lod_mask)
+                       affine=affine, lod_mask=lod_mask,
+                       structure=structure, training=training)
     return nerf_head(params, cfg, feats, ray_d)
 
 
@@ -257,6 +299,8 @@ def _prune_density_paged(params, cfg: NeuralRadianceFieldConfig, rng):
 
 def _can_prune_paged(cfg: NeuralRadianceFieldConfig) -> bool:
     from shacira_tpu.ops import paged_hash as ph
+    if grid_kind(cfg.grid) != 'latent':
+        return False
     res = cfg.occ_cfg.res
     gr = ph.group_res_of(cfg.grid.spec.page_res)
     return (cfg.grid.spec.hash_layout == 'paged'
@@ -265,7 +309,8 @@ def _can_prune_paged(cfg: NeuralRadianceFieldConfig) -> bool:
             and res // gr >= 4)
 
 
-def prune(params, cfg: NeuralRadianceFieldConfig, occ_state, rng):
+def prune(params, cfg: NeuralRadianceFieldConfig, occ_state, rng,
+          structure=None):
     """One NGP pruning step on the dense occupancy grid (ref nerf.py:150-185).
 
     Decay each cell's tracked density, sample one jittered point per cell,
@@ -277,7 +322,8 @@ def prune(params, cfg: NeuralRadianceFieldConfig, occ_state, rng):
         density = _prune_density_paged(params, cfg, rng)
     else:
         pts = occ.cell_centers_jittered(cfg.occ_cfg, rng)
-        density = nerf_density(params, cfg, pts)[..., 0]
+        density = nerf_density(params, cfg, pts, structure=structure,
+                               training=False)[..., 0]
     return occ.prune_update(occ_state, cfg.occ_cfg, density,
                             density_decay=cfg.prune_density_decay,
                             min_density=cfg.prune_min_density)

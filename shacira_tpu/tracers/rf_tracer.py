@@ -408,8 +408,11 @@ def coarse_segment_live(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
         # estimated optical depth per live segment: cached max density x
         # segment chord length; exclusive cumsum = depth in FRONT of the
         # segment.  Dead segments contribute zero (their density cache is
-        # below the prune threshold anyway).
-        seg_len = (dmax - dmin) / ns                          # [R, 1]
+        # below the prune threshold anyway).  Chord uses G/(S-1) — the
+        # actual sample spacing (depths span [dmin,dmax] in S-1 gaps) —
+        # not G/S, so the estimate stays conservative at small S
+        # (ADVICE r4; at S=2048 the two differ by 0.05%).
+        seg_len = (dmax - dmin) * (G / (S - 1))               # [R, 1]
         tau = jnp.where(mask_c, v[..., 1] * seg_len, 0.0)
         cum = jnp.cumsum(tau, axis=-1) - tau                  # exclusive
         mask_c = mask_c & (cum <= cfg.term_tau)

@@ -696,6 +696,12 @@ class ImageTrainer:
                 ldec_bits + latent_bits + rest_bits) / 8e3
             out['bpp_hist'] = (ldec_bits + latent_bits + rest_bits) / npix
             out['latent_size_kb_pm'] = pm_bits / 8e3
+            # reference-style accounting (histogram stream with NO side
+            # info, latent_grid.py:168-172 in the ref) so apples-to-apples
+            # comparison against reference-reported sizes stays one field
+            # away (ADVICE r4)
+            out['latent_size_kb_ref'] = (
+                latent_bits - lg.stream_side_info_bits(params['grid'])) / 8e3
             out['stream'] = ('histogram' if latent_bits <= pm_bits
                              else 'prob_model')
             latent_bits = min(latent_bits, pm_bits)

@@ -93,10 +93,30 @@ class MultiviewTrainer:
                  model_cfg: NeuralRadianceFieldConfig,
                  tracer_cfg: rf_tracer.RFTracerConfig,
                  dataset, num_rays: int, seed: int = 0, mesh=None,
-                 val_dataset=None, log_dir=None, logger=None):
+                 val_dataset=None, log_dir=None, logger=None,
+                 structure=None):
         self.cfg = cfg
         self.model_cfg = model_cfg
-        if model_cfg.grid.hash_layout == 'paged':
+        # alternative grid backbones (grid_type dispatch, ref
+        # main_nerf.py:371-505): 'latent' covers LatentGrid + HashGrid;
+        # octree/codebook need a host-built OctreeStructure
+        self.grid_kind = nerf_mod.grid_kind(model_cfg.grid)
+        self.is_latent = self.grid_kind == 'latent'
+        if self.grid_kind in ('octree', 'codebook') and structure is None:
+            from shacira_tpu.models.grids import octree_grid as og
+            if getattr(dataset, 'pointcloud', None) is not None:
+                structure = og.OctreeStructure.from_pointcloud(
+                    model_cfg.grid, dataset.pointcloud)
+            else:
+                structure = og.OctreeStructure.make_dense(model_cfg.grid)
+        self.structure = structure
+        self.structure_tables = (structure.tables()
+                                 if structure is not None else None)
+        if not self.is_latent and (cfg.random_lod or cfg.grow_every > 0):
+            raise ValueError(
+                'random_lod / LOD-growth curricula are LatentGrid-only '
+                '(alternative backbones ignore lod_mask)')
+        if self.is_latent and model_cfg.grid.hash_layout == 'paged':
             # the tracer's segment grouping must match the grid's paged
             # geometry (grouping cells = page_res // 2 per axis)
             from dataclasses import replace as _replace
@@ -120,9 +140,12 @@ class MultiviewTrainer:
         self.rng, k_init = jax.random.split(self.rng)
 
         def _init(k):
-            params = nerf_mod.nerf_init(k, model_cfg)
-            return (params, optim.adam_init(params),
-                    jnp.zeros_like(params['grid']['codebook']),
+            params = nerf_mod.nerf_init(k, model_cfg,
+                                        structure=self.structure)
+            # noise carry exists only for the latent rate loss
+            noise = (jnp.zeros_like(params['grid']['codebook'])
+                     if self.is_latent else jnp.zeros((1,), jnp.float32))
+            return (params, optim.adam_init(params), noise,
                     occ.occupancy_init(model_cfg.occ_cfg, occupied=True))
 
         (self.params, self.opt_state, self.noise,
@@ -143,7 +166,8 @@ class MultiviewTrainer:
             # row-sharded (ZeRO-style), so the moment updates touch
             # table/n rows per device; params stay replicated (the encode
             # gathers arbitrary rows) via one all-gather of the update.
-            if self.params['grid']['codebook'].shape[0] % mesh.size == 0:
+            if (self.is_latent and
+                    self.params['grid']['codebook'].shape[0] % mesh.size == 0):
                 self.shard_table_work = True
                 rows = pmesh.row_sharding(mesh)
                 for tree in (self.opt_state.mu, self.opt_state.nu):
@@ -156,7 +180,7 @@ class MultiviewTrainer:
             self.shard_table_work = False
 
         gcfg = model_cfg.grid
-        self.ldecode_enabled = gcfg.ldec is not None
+        self.ldecode_enabled = self.is_latent and gcfg.ldec is not None
         self.entropy_enabled = self.ldecode_enabled and gcfg.entropy_enabled
 
         # iterations = epochs * views (batch_size 1 view per iter in reference)
@@ -180,7 +204,7 @@ class MultiviewTrainer:
                 float(dataset.dist_min), float(dataset.dist_max))
         if tracer_cfg.segment_size > 0:
             self._refresh_coarse()
-        if (model_cfg.grid.hash_layout == 'paged'
+        if (self.is_latent and model_cfg.grid.hash_layout == 'paged'
                 and tracer_cfg.eval_seg_budget > 0):
             from shacira_tpu.ops import paged_hash as ph
             if (tracer_cfg.group_seg_size
@@ -224,8 +248,9 @@ class MultiviewTrainer:
             def shard_rows(x):
                 return jax.lax.with_sharding_constraint(x, rows_sh)
 
-        affine = lg.supports_affine_fusion(gcfg)
-        use_paged = (gcfg.hash_layout == 'paged' and affine
+        is_latent = self.is_latent
+        affine = is_latent and lg.supports_affine_fusion(gcfg)
+        use_paged = (is_latent and gcfg.hash_layout == 'paged' and affine
                      and tcfg.eval_seg_budget > 0
                      and (tcfg.segment_size > 0
                           or tcfg.raymarch_type == 'voxel'))
@@ -252,8 +277,19 @@ class MultiviewTrainer:
             """Build the field callables from (params, decoded latents) and
             trace.  `u` is the pre-drawn march jitter (occ.march_uniform) so
             the shard_map'd call samples identically to the single-device
-            one on each device's ray slice."""
-            if affine:
+            one on each device's ray slice.  For the alternative backbones
+            (octree/codebook/triplanar) `lat` carries the static structure
+            tables instead of decoded latents."""
+            if not is_latent:
+                tables = lat
+
+                def field_fn(coords, dirs):
+                    return nerf_mod.nerf_rgba(p, mcfg, coords, dirs,
+                                              structure=tables,
+                                              training=True)
+
+                encode_split = None
+            elif affine:
                 parts = lat
 
                 def field_fn(coords, dirs):
@@ -314,7 +350,8 @@ class MultiviewTrainer:
                                    tcfg_loc, rays, u,
                                    encode_split=encode_split)
 
-        def step(params, opt_state, noise, occ_state, rays_o, rays_d, gt, rng,
+        def step(params, opt_state, noise, occ_state, tables,
+                 rays_o, rays_d, gt, rng,
                  ent_lambda, temperature, lr_ldec, refresh_noise, lod_mask):
             k_sga, k_noise, k_march = jax.random.split(rng, 3)
             # bulk full-codebook draws ride the configured generator
@@ -352,7 +389,9 @@ class MultiviewTrainer:
                 # OUTSIDE the shard_map region: with shard_table_work it
                 # runs on T/n rows per device, and its product is what the
                 # per-device traces consume (one all-gather)
-                if affine:
+                if not is_latent:
+                    lat = tables
+                elif affine:
                     # fused latent-width backward when the decoder is affine
                     lat = lg.affine_parts(p['grid'], gcfg, use_sga=use_sga,
                                           temperature=temperature, rng=k_sga)
@@ -427,11 +466,11 @@ class MultiviewTrainer:
             return self._fns[key]
         step = self._raw_step(use_sga)
 
-        def run_chunk(params, opt_state, noise, occ_state, xs):
+        def run_chunk(params, opt_state, noise, occ_state, tables, xs):
             def body(carry, x):
                 params, opt_state, noise = carry
                 params, opt_state, noise, metrics = step(
-                    params, opt_state, noise, occ_state,
+                    params, opt_state, noise, occ_state, tables,
                     x['rays_o'], x['rays_d'], x['gt'], x['rng'],
                     x['ent_lambda'], x['temperature'], x['lr_ldec'],
                     x['refresh_noise'], x['lod_mask'])
@@ -482,8 +521,8 @@ class MultiviewTrainer:
     def _get_prune_fn(self):
         if 'prune' not in self._fns:
             self._fns['prune'] = jax.jit(
-                lambda params, occ_state, rng: nerf_mod.prune(
-                    params, self.model_cfg, occ_state, rng))
+                lambda params, occ_state, rng, tables: nerf_mod.prune(
+                    params, self.model_cfg, occ_state, rng, structure=tables))
         return self._fns['prune']
 
     # ------------------------------------------------------------------
@@ -707,14 +746,16 @@ class MultiviewTrainer:
 
             run = self._get_chunk_fn(use_sga)
             (self.params, self.opt_state, self.noise), metrics = run(
-                self.params, self.opt_state, self.noise, self.occ_state, xs)
+                self.params, self.opt_state, self.noise, self.occ_state,
+                self.structure_tables, xs)
             self.iteration += n
             done += n
 
             if (cfg.prune_every > 0 and self.iteration > 1
                     and self.iteration % cfg.prune_every == 0):
                 self.rng, k = jax.random.split(self.rng)
-                self.occ_state = self._get_prune_fn()(self.params, self.occ_state, k)
+                self.occ_state = self._get_prune_fn()(
+                    self.params, self.occ_state, k, self.structure_tables)
                 if self.tracer_cfg.segment_size > 0:
                     self._refresh_coarse()
                 if cfg.adaptive_budget:
@@ -806,12 +847,18 @@ class MultiviewTrainer:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         mcfg, tcfg = self.model_cfg, self.tracer_cfg
 
-        paged_eval = (mcfg.grid.hash_layout == 'paged'
+        is_latent = self.is_latent
+        paged_eval = (is_latent
+                      and mcfg.grid.hash_layout == 'paged'
                       and lg.supports_affine_fusion(mcfg.grid)
                       and tcfg.eval_seg_budget > 0
                       and (tcfg.segment_size > 0
                            or tcfg.raymarch_type == 'voxel'))
-        if paged_eval:
+        if not self.is_latent:
+            # alternative backbones: the 'decoded' slot carries the static
+            # structure tables (octree/codebook) or None (triplanar)
+            decoded = self.structure_tables
+        elif paged_eval:
             # eval-mode (rounded) affine parts replace the dense decode:
             # the paged kernels decode after interpolation
             if 'affine_once' not in self._fns:
@@ -865,10 +912,18 @@ class MultiviewTrainer:
                         field_fn, occ_state, mcfg.occ_cfg, tcfg, rays, k,
                         encode_split=(zbar_fn, finish_fn, head_fn))['rgb']
 
-                def field_fn(coords, dirs):
-                    return nerf_mod.nerf_rgba(params, mcfg, coords, dirs,
-                                              decoded=decoded,
-                                              lod_mask=lmask)
+                if is_latent:
+                    def field_fn(coords, dirs):
+                        return nerf_mod.nerf_rgba(params, mcfg, coords,
+                                                  dirs, decoded=decoded,
+                                                  lod_mask=lmask)
+                else:
+                    # alternative backbones render in eval mode (VQAD:
+                    # argmax dictionary lookup, ref codebook_grid.py:298-302)
+                    def field_fn(coords, dirs):
+                        return nerf_mod.nerf_rgba(params, mcfg, coords,
+                                                  dirs, structure=decoded,
+                                                  training=False)
 
                 return rf_tracer.trace(field_fn, occ_state, mcfg.occ_cfg,
                                        tcfg, rays, k)['rgb']
@@ -924,14 +979,30 @@ class MultiviewTrainer:
 
     def size_report(self, use_codec: bool = False, params=None):
         """Latent/decoder/total size accounting in kB (the reference logs
-        latent/total size per epoch, multiview_trainer.py:164-169).  Empty
-        for non-latent grids (octree/codebook/triplanar)."""
+        latent/total size per epoch, multiview_trainer.py:164-169).
+
+        Alternative backbones report their own accounting: VQAD =
+        entropy-coded argmax indices + dictionary fp bits (ref
+        codebook_grid.py:238-270), octree/triplanar = raw fp bits."""
         from shacira_tpu.models import mlp as mlp_mod
+        from shacira_tpu.models.grids import octree_grid as og
+        from shacira_tpu.models.grids import triplanar_grid as tg
         from shacira_tpu.models.grids.latent_grid import LatentGridConfig
         params = params if params is not None else self.params
         gcfg = self.model_cfg.grid
         if not isinstance(gcfg, LatentGridConfig):
-            return {}
+            rest = (mlp_mod.mlp_size_bits(params['decoder_density'])
+                    + mlp_mod.mlp_size_bits(params['decoder_color']))
+            if self.grid_kind == 'codebook':
+                _, gbits = og.codebook_grid_size_bits(params['grid'],
+                                                      use_codec=use_codec)
+            elif self.grid_kind == 'octree':
+                gbits = og.grid_size_bits(params['grid'])
+            else:
+                gbits = tg.grid_size_bits(params['grid'])
+            return {'grid_size_kb': gbits / 8e3,
+                    'remainder_size_kb': rest / 8e3,
+                    'total_size_kb': (gbits + rest) / 8e3}
         # prob-model accounting only on the (final) codec pass — the
         # BitEstimator CDF evaluation is an eager device call
         has_pm = use_codec and 'prob_model' in params['grid']

@@ -86,9 +86,10 @@ def main():
     out = {'config': 'kodak-config (24 LODs F1 bw11, SGA+recalibration, '
                      f'{args.epochs} epochs), {args.images} synthetic '
                      f'768x512 images x {args.seeds} seeds; headline size '
-                     'is the prob-model-CDF codestream (+BitEstimator '
-                     'params); bpp_hist is the histogram stream with '
-                     'alphabet+CDF side info counted',
+                     '= the smaller decodable stream per image (prob-model '
+                     'CDF + BitEstimator params, or histogram + '
+                     'alphabet/CDF side info — size_report picks per '
+                     'image); bpp_hist is the histogram variant explicitly',
            'points': points}
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, 'kodak_rd_sweep.json'), 'w') as f:
