@@ -45,7 +45,8 @@ def lego_like_scene(views: int = 40, res: int = 128):
 
 def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
             seg_dilation: int = 1, seg_budget: int = 0,
-            num_rays: int = 4096, fine_mode: str = 'deferred'):
+            num_rays: int = 4096, fine_mode: str = 'deferred',
+            lean_stage1: bool = False):
     import jax
     sys.path.insert(0, 'tests')
     from test_nerf import synthetic_scene
@@ -79,7 +80,8 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
                                     seg_budget=seg_budget * r,
                                     eval_seg_budget=24576 * r if paged else 0,
                                     group_seg_size=0, group_segs_per_block=8,
-                                    fine_mode=fine_mode if paged else 'exact')
+                                    fine_mode=fine_mode if paged else 'exact',
+                                    lean_stage1=lean_stage1)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=-1, chunk_size=10,
                                  rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
@@ -109,7 +111,7 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
 def measure_pruned(iters: int = 200, coarse_level: int = 7,
                    seg_dilation: int = 2, seg_budget: int = 32768,
                    fine_mode: str = 'deferred', term_tau: float = 0.0,
-                   group_seg_size: int = 0):
+                   group_seg_size: int = 0, lean_stage1: bool = False):
     """Sustained rays/s on the reference's ACTUAL lego workload: pruning
     every 100 iterations (nerf_lego.yaml) with adaptive sample/segment
     budgets.  After the occupancy grid settles (~7% cells), every stage
@@ -149,7 +151,8 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                     group_segs_per_block=(
                                         max(8, 128 // group_seg_size)
                                         if group_seg_size else 8),
-                                    fine_mode=fine_mode, term_tau=term_tau)
+                                    fine_mode=fine_mode, term_tau=term_tau,
+                                    lean_stage1=lean_stage1)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=100, chunk_size=50,
                                  rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
@@ -186,7 +189,8 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
         'config': 'lego workload: 24 LODs bw19 F4, ray-march 2048 steps, '
                   '4096 rays/iter, prune/100 + adaptive budgets, paged '
                   f'encode, {fine_mode} fine mode'
-                  + (f', term_tau={term_tau}' if term_tau > 0 else ''),
+                  + (f', term_tau={term_tau}' if term_tau > 0 else '')
+                  + (', lean stage-1' if lean_stage1 else ''),
     }
 
 
@@ -265,11 +269,13 @@ def main():
     gss = 0
     if '--gss' in sys.argv:
         gss = int(sys.argv[sys.argv.index('--gss') + 1])
+    lean = '--lean' in sys.argv
     if '--pruned' in sys.argv:
         print(json.dumps(measure_pruned(iters=max(iters, 200),
                                         fine_mode=fine_mode,
                                         term_tau=term_tau,
-                                        group_seg_size=gss)))
+                                        group_seg_size=gss,
+                                        lean_stage1=lean)))
         return
     if '--voxel' in sys.argv:
         print(json.dumps(measure_voxel(paged='--paged' in sys.argv,
@@ -278,7 +284,7 @@ def main():
         return
     paged = '--paged' in sys.argv
     print(json.dumps(measure(paged=paged, iters=iters,
-                             fine_mode=fine_mode)))
+                             fine_mode=fine_mode, lean_stage1=lean)))
 
 
 if __name__ == '__main__':

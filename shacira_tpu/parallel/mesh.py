@@ -80,6 +80,38 @@ def shard_batch(mesh: Mesh, *arrays):
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 
+def shard_axis(mesh: Mesh, axis: int, *arrays):
+    """Place arrays sharded along ``axis`` (other axes replicated) — the
+    multihost-safe generalization of :func:`shard_batch` for batches whose
+    sample axis is not leading (the NeRF trainer's [chunk, rays, 3] scan
+    inputs shard axis 1)."""
+    spec = P(*([None] * axis + [DATA_AXIS]))
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        from shacira_tpu.parallel import multihost
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            sl = [slice(None)] * a.ndim
+            sl[axis] = multihost.host_local_batch_slice(a.shape[axis])
+            out.append(jax.make_array_from_process_local_data(
+                sh, a[tuple(sl)], a.shape))
+        return tuple(out)
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def shard_rows_global(mesh: Mesh, a):
+    """Row-shard a table (ZeRO-style moments) multihost-safely.  ``a`` must
+    be host-readable (fully replicated or process-local)."""
+    sh = row_sharding(mesh)
+    if jax.process_count() > 1:
+        from shacira_tpu.parallel import multihost
+        a = np.asarray(a)
+        sl = multihost.host_local_batch_slice(a.shape[0])
+        return jax.make_array_from_process_local_data(sh, a[sl], a.shape)
+    return jax.device_put(a, sh)
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     if jax.process_count() > 1:

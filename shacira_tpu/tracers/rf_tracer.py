@@ -96,6 +96,21 @@ class RFTracerConfig:
     # Before the first prune the density cache is zero and nothing is
     # culled (conservative).
     term_tau: float = 0.0
+    # lean stage-1 (fine_mode='deferred' 'ray' marching only): never
+    # materialize the [R, num_steps] depth/delta/jitter ladders.  Segment
+    # midpoints are analytic (segment centers; the cover bound already
+    # slack-covers jitter), stage-2 sample depths are recomputed from the
+    # surviving segment ids with a counter-hash jitter keyed on (step seed,
+    # local segment id, sample) — under shard_map each device keys on its
+    # LOCAL ids, so jitter offsets repeat across device shards (harmless:
+    # offsets stay iid across steps; only their cross-ray correlation
+    # pattern differs from the dense draw) — and deltas are the uniform
+    # span/(num_steps-1) quadrature (each sample is a stratified estimate
+    # of its bin; the dense path's diff-of-jittered-depths has the same
+    # mean).  Also compacts stage-1 directly to eval_seg_budget (no
+    # seg_budget intermediate).  Rendering is statistically identical but
+    # not bit-equal to the dense path (different jitter stream).
+    lean_stage1: bool = False
 
 
 def march_jitter_shape(cfg: RFTracerConfig, num_rays: int):
@@ -104,7 +119,39 @@ def march_jitter_shape(cfg: RFTracerConfig, num_rays: int):
     the shard_map'd trace path)."""
     if cfg.raymarch_type == 'voxel':
         return (num_rays, cfg.max_intersections, cfg.num_steps)
+    if cfg.lean_stage1 and cfg.fine_mode == 'deferred':
+        # lean mode needs only a per-step seed source (2 uniforms -> one
+        # uint32 counter-hash seed); broadcast to every device so each
+        # derives the same per-segment jitter
+        return (2,)
     return (num_rays, cfg.num_steps)
+
+
+def _lean_seed(u):
+    """Per-step uint32 hash seed from either a PRNG key or the (2,)
+    pre-drawn uniform array of :func:`march_jitter_shape` (lean mode)."""
+    if hasattr(u, 'ndim') and u.ndim == 1 and u.shape[0] == 2 \
+            and jnp.issubdtype(u.dtype, jnp.floating):
+        lo = jnp.floor(u[0] * 65536.0).astype(jnp.uint32)
+        hi = jnp.floor(u[1] * 65536.0).astype(jnp.uint32)
+        return lo | (hi << jnp.uint32(16))
+    return jax.random.randint(u, (), 0, np.int64(2 ** 31) - 1,
+                              dtype=jnp.int32).astype(jnp.uint32)
+
+
+def _hash01(seed, idx):
+    """Stateless counter-hash jitter: uint32 mix of (seed, idx) -> U[0,1).
+
+    murmur3-style finalizer — statistically adequate for stratified sample
+    jitter; deterministic in (seed, id), so a trace re-run with the same
+    seed reproduces its samples exactly."""
+    x = idx.astype(jnp.uint32) + seed
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x.astype(jnp.float32) * jnp.float32(2.0 ** -32)
 
 
 def per_device_cfg(cfg: RFTracerConfig, n: int) -> RFTracerConfig:
@@ -392,36 +439,13 @@ def coarse_segment_live(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
     # whole segment) cannot be checked here — dist bounds are traced.
     # MultiviewTrainer validates at construction; direct users should call
     # validate_segment_cover() with their concrete distance bounds.
-    cover = segment_cover_radius(cfg, occ_cfg)
-    rc = _coarse_res(cfg, occ_cfg)
+    # (Term-culling chord inside _segment_liveness uses G/(S-1) — the
+    # actual sample spacing — so the estimate stays conservative at small
+    # S; ADVICE r4.)
     dseg = depth.reshape(R, ns, G)
     t_mid = 0.5 * (dseg[..., 0] + dseg[..., -1])              # [R, ns]
-    mid = rays.origins[:, None, :] + rays.dirs[:, None, :] * t_mid[..., None]
-    inside = jnp.all(jnp.abs(mid) <= 1.0 + cover, axis=-1)
-    ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * rc), 0, rc - 1).astype(jnp.int32)
-    if cfg.term_tau > 0:
-        packed = occ_state.get('coarse2')
-        if packed is None:
-            packed = coarse_packed_grid(occ_state, occ_cfg, cfg)
-        v = packed[ci[..., 0], ci[..., 1], ci[..., 2]]        # [R, ns, 2]
-        mask_c = (v[..., 0] > 0) & inside
-        # estimated optical depth per live segment: cached max density x
-        # segment chord length; exclusive cumsum = depth in FRONT of the
-        # segment.  Dead segments contribute zero (their density cache is
-        # below the prune threshold anyway).  Chord uses G/(S-1) — the
-        # actual sample spacing (depths span [dmin,dmax] in S-1 gaps) —
-        # not G/S, so the estimate stays conservative at small S
-        # (ADVICE r4; at S=2048 the two differ by 0.05%).
-        seg_len = (dmax - dmin) * (G / (S - 1))               # [R, 1]
-        tau = jnp.where(mask_c, v[..., 1] * seg_len, 0.0)
-        cum = jnp.cumsum(tau, axis=-1) - tau                  # exclusive
-        mask_c = mask_c & (cum <= cfg.term_tau)
-    else:
-        coarse = occ_state.get('coarse')
-        if coarse is None:
-            coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, rc,
-                                               cfg.seg_dilation)
-        mask_c = coarse[ci[..., 0], ci[..., 1], ci[..., 2]] & inside
+    mask_c = _segment_liveness(occ_state, occ_cfg, cfg, rays, t_mid,
+                               dmin, dmax)
     return depth, deltas, mask_c
 
 
@@ -492,6 +516,90 @@ def _trace_ray_deferred(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
     r_id = src2 // ns
     depth2 = jnp.take(depth.reshape(R * ns, G), src2, axis=0)
     delta2 = jnp.take(deltas.reshape(R * ns, G), src2, axis=0)
+    o2 = jnp.take(rays.origins, r_id, axis=0)
+    d2 = jnp.take(rays.dirs, r_id, axis=0)
+    samples2 = o2[:, None, :] + d2[:, None, :] * depth2[..., None]
+    fine2 = fine_qfn(samples2) & valid2[:, None]
+    return dict(
+        samples=samples2,
+        dirs=jnp.broadcast_to(d2[:, None, :], samples2.shape),
+        fine=fine2,
+        depth=depth2,
+        deltas=delta2,
+        ray=jnp.broadcast_to(r_id[:, None], (k2, G)),
+        valid=valid2)
+
+
+def _segment_liveness(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
+                      t_mid, dmin, dmax):
+    """Coarse (+ transmittance) segment liveness from midpoint depths
+    ``t_mid [R, ns]`` — the shared core of :func:`coarse_segment_live` and
+    the lean stage-1."""
+    ns = t_mid.shape[1]
+    cover = segment_cover_radius(cfg, occ_cfg)
+    rc = _coarse_res(cfg, occ_cfg)
+    mid = rays.origins[:, None, :] + rays.dirs[:, None, :] * t_mid[..., None]
+    inside = jnp.all(jnp.abs(mid) <= 1.0 + cover, axis=-1)
+    ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * rc), 0,
+                  rc - 1).astype(jnp.int32)
+    if cfg.term_tau > 0:
+        packed = occ_state.get('coarse2')
+        if packed is None:
+            packed = coarse_packed_grid(occ_state, occ_cfg, cfg)
+        v = packed[ci[..., 0], ci[..., 1], ci[..., 2]]        # [R, ns, 2]
+        mask_c = (v[..., 0] > 0) & inside
+        # estimated optical depth per live segment (see coarse_segment_live)
+        G = cfg.segment_size
+        S = cfg.num_steps
+        seg_len = (dmax - dmin) * (G / (S - 1))               # [R, 1]
+        tau = jnp.where(mask_c, v[..., 1] * seg_len, 0.0)
+        cum = jnp.cumsum(tau, axis=-1) - tau                  # exclusive
+        mask_c = mask_c & (cum <= cfg.term_tau)
+    else:
+        coarse = occ_state.get('coarse')
+        if coarse is None:
+            coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, rc,
+                                               cfg.seg_dilation)
+        mask_c = coarse[ci[..., 0], ci[..., 1], ci[..., 2]] & inside
+    return mask_c
+
+
+def _trace_ray_deferred_lean(occ_state, occ_cfg, cfg: RFTracerConfig,
+                             rays: Rays, rng, fine_qfn):
+    """Lean deferred-fine march (``cfg.lean_stage1``): stage-1 touches only
+    [R, ns] midpoint arrays (no [R, S] ladders), compacts directly to the
+    eval budget, and stage-2 recomputes depths/deltas for the k2 survivors
+    from segment ids + counter-hash jitter (see RFTracerConfig.lean_stage1).
+
+    Sampling law: dense depth_j = (j/(S-1) + u_j/S)*span + dmin (the
+    reference formula, octree_as.py:252-259) with u_j = hash(seed, sample
+    uid); deltas are the uniform span/(S-1) quadrature."""
+    G = cfg.segment_size
+    S = cfg.num_steps
+    ns = S // G
+    R = rays.origins.shape[0]
+    seed = _lean_seed(rng)
+    dmin = jnp.broadcast_to(rays.dist_min, (R,))[:, None]
+    dmax = jnp.broadcast_to(rays.dist_max, (R,))[:, None]
+    span = dmax - dmin                                        # [R, 1]
+
+    # analytic segment midpoints: center sample index + expected jitter
+    jmid = (jnp.arange(ns) * G + (G - 1) / 2.0) / (S - 1) + 0.5 / S
+    t_mid = jmid[None, :] * span + dmin                       # [R, ns]
+    mask_c = _segment_liveness(occ_state, occ_cfg, cfg, rays, t_mid,
+                               dmin, dmax)
+
+    k2 = cfg.eval_seg_budget
+    src2, valid2, _ = _stride_compact(mask_c.reshape(-1), k2)
+    r_id = src2 // ns
+    si = src2 - r_id * ns                                     # segment in ray
+    j = si[:, None] * G + jnp.arange(G, dtype=jnp.int32)[None, :]  # [k2, G]
+    u2 = _hash01(seed, src2[:, None] * G
+                 + jnp.arange(G, dtype=jnp.int32)[None, :])
+    span_r = jnp.take(span[:, 0], r_id)[:, None]              # [k2, 1]
+    dmin_r = jnp.take(dmin[:, 0], r_id)[:, None]
+    depth2 = (j.astype(jnp.float32) / (S - 1) + u2 / S) * span_r + dmin_r
+    delta2 = jnp.broadcast_to(span_r / (S - 1), (k2, G))
     o2 = jnp.take(rays.origins, r_id, axis=0)
     d2 = jnp.take(rays.dirs, r_id, axis=0)
     samples2 = o2[:, None, :] + d2[:, None, :] * depth2[..., None]
@@ -782,7 +890,9 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
                     occ_state, occ_cfg, cfg, rays, rng,
                     lambda s: jnp.ones(s.shape[:-1], bool))
             elif cfg.fine_mode == 'deferred':
-                seg2 = _trace_ray_deferred(
+                deferred = (_trace_ray_deferred_lean if cfg.lean_stage1
+                            else _trace_ray_deferred)
+                seg2 = deferred(
                     occ_state, occ_cfg, cfg, rays, rng,
                     lambda s: occ.query(occ_state, occ_cfg, s))
             else:

@@ -169,11 +169,10 @@ class MultiviewTrainer:
             if (self.is_latent and
                     self.params['grid']['codebook'].shape[0] % mesh.size == 0):
                 self.shard_table_work = True
-                rows = pmesh.row_sharding(mesh)
                 for tree in (self.opt_state.mu, self.opt_state.nu):
-                    tree['grid']['codebook'] = jax.device_put(
-                        tree['grid']['codebook'], rows)
-                self.noise = jax.device_put(self.noise, rows)
+                    tree['grid']['codebook'] = pmesh.shard_rows_global(
+                        mesh, tree['grid']['codebook'])
+                self.noise = pmesh.shard_rows_global(mesh, self.noise)
             else:
                 self.shard_table_work = False
         else:
@@ -415,10 +414,13 @@ class MultiviewTrainer:
                     # varying-manual-axes rules; grads of the replicated-in
                     # params still psum correctly (transpose follows
                     # in_specs — equivalence-tested in tests/test_parallel)
+                    # lean stage-1's jitter input is a (2,)-seed, replicated
+                    # (the counter-hash keys jitter by segment identity)
+                    u_spec = P() if u.ndim == 1 else P('data')
                     rb = jax.shard_map(
                         partial(run_trace, shard_ray_cfg), mesh=mesh,
                         in_specs=(P(), P(), P(), P(),
-                                  P('data'), P('data'), P('data')),
+                                  P('data'), P('data'), u_spec),
                         out_specs=P('data'), check_vma=False)(
                         p, lat, occ_state, lod_mask, rays_o, rays_d, u)
                 else:
@@ -733,12 +735,11 @@ class MultiviewTrainer:
             ro, rd, gt = self._presample(n)
             if self.mesh is not None:
                 # shard the ray axis (dim 1) across the data axis; params
-                # stay replicated and XLA psums the gradients
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(self.mesh, P(None, 'data'))
-                xs['rays_o'] = jax.device_put(ro, sh)
-                xs['rays_d'] = jax.device_put(rd, sh)
-                xs['gt'] = jax.device_put(gt, sh)
+                # stay replicated and XLA psums the gradients (multihost:
+                # each process contributes its host-local ray slice)
+                from shacira_tpu.parallel import mesh as pmesh
+                (xs['rays_o'], xs['rays_d'], xs['gt']) = pmesh.shard_axis(
+                    self.mesh, 1, ro, rd, gt)
             else:
                 xs['rays_o'] = jnp.asarray(ro)
                 xs['rays_d'] = jnp.asarray(rd)
@@ -781,10 +782,14 @@ class MultiviewTrainer:
         if self.shard_table_work:
             # with row-sharded moments GSPMD keeps the codebook row-sharded
             # in the scan carry; re-replicate for downstream consumers
-            # (validation/eval render paths, checkpoints)
+            # (validation/eval render paths, checkpoints).  jitted identity
+            # with an output sharding: works multihost too (device_put
+            # cannot cross processes)
             from shacira_tpu.parallel import mesh as pmesh
-            self.params['grid']['codebook'] = jax.device_put(
-                self.params['grid']['codebook'], pmesh.replicated(self.mesh))
+            self.params['grid']['codebook'] = jax.jit(
+                lambda x: x,
+                out_shardings=pmesh.replicated(self.mesh))(
+                self.params['grid']['codebook'])
         return {'iterations': self.iteration,
                 'elapsed': time.time() - t0}
 

@@ -38,6 +38,7 @@ def _args(image_dir, log_dir, extra=()):
             '--entropy-reg', '1e-3', '--log-every', '-1'] + list(extra)
 
 
+@pytest.mark.slow
 def test_train_image_app_then_valid_only(image_dir, tmp_path):
     from shacira_tpu.apps import train_image
 
@@ -63,6 +64,7 @@ def test_train_image_app_then_valid_only(image_dir, tmp_path):
         agg2['average']['PSNR'], trained_psnr)
 
 
+@pytest.mark.slow
 def test_train_image_app_pretrained_and_profile(image_dir, tmp_path):
     """--pretrained warm-starts from a saved model; --profile wraps the run
     in a jax.profiler trace (ref base_trainer.py:449 emit_nvtx analog)."""
@@ -91,6 +93,7 @@ def test_train_image_app_pretrained_and_profile(image_dir, tmp_path):
     assert np.isfinite(agg['average']['PSNR'])
 
 
+@pytest.mark.slow
 def test_train_nerf_app_e2e(tmp_path):
     """apps/train_nerf.py end-to-end on a tiny generated Blender scene:
     training, held-out validation, size report, turntable, then

@@ -50,6 +50,7 @@ def _train_small(args, iters=40):
 
 @pytest.mark.parametrize('grid_type', ['OctreeGrid', 'CodebookOctreeGrid',
                                        'TriplanarGrid', 'HashGrid'])
+@pytest.mark.slow
 def test_backbone_trains_and_renders(grid_type):
     args = _args(grid_type)
     tr, losses = _train_small(args)
@@ -82,6 +83,7 @@ def test_grid_type_rejects_unknown_and_2d_octree():
         cfg_mod.build_grid_config(args, resolution_dim=3)
 
 
+@pytest.mark.slow
 def test_codebook_eval_uses_argmax_lookup():
     """Eval render must use the hard argmax dictionary path (different from
     the straight-through soft mix only in gradients/off-argmax mass) —

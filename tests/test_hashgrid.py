@@ -107,6 +107,7 @@ def test_jit_and_lod_layout():
     assert out.shape == (8, 2, 3)
 
 
+@pytest.mark.slow
 def test_static_plan_matches_dynamic():
     """Static-coords plan (precomputed gather + transpose backward) must
     reproduce the dynamic path exactly, fwd and bwd."""
@@ -128,6 +129,7 @@ def test_static_plan_matches_dynamic():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_affine_fused_matches_decode_then_encode():
     """hash_encode_affine(z, S, b) must equal hash_encode(z @ S + b) in both
     values and gradients (z, scale, shift)."""
@@ -159,6 +161,7 @@ def test_affine_fused_matches_decode_then_encode():
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_no_oob_at_large_direct_resolutions():
     """Regression: for res >~170 the reference's float32 clamp bound
     ``res-1-1e-5`` rounds to res-1, producing out-of-bounds corner indices

@@ -36,6 +36,7 @@ def make_model_cfg(compressed=True):
     return NeuralImageConfig(grid=grid, hidden_dim=16, num_layers=1)
 
 
+@pytest.mark.slow
 def test_image_inr_converges():
     ds = ImageDataset(tiny_image(), sample_mode='full')
     cfg = ImageTrainerConfig(
@@ -93,6 +94,7 @@ def test_index_to_coords_matches_grid():
     np.testing.assert_allclose(index_to_coords(idx, h, w), grid, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sampled_wreplace_training():
     """'wreplace' mode (pearl giga-image path): batched sampled training
     converges on a tiny image."""
@@ -178,6 +180,7 @@ def test_resample_fires_once_per_epoch():
     assert len(calls) == 2, len(calls)
 
 
+@pytest.mark.slow
 def test_device_image_u8_matches_f32():
     """device_image_u8: for an 8-bit-source image the uint8 HBM-resident
     copy dequantizes to the exact f32 values, so training is bit-identical

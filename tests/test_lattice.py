@@ -26,6 +26,7 @@ def test_xor_butterfly_is_xor_permutation():
     (20, 24, 5, (4, 8, 16, 40)),                      # hashed with res > block
     (16, 16, 11, geometric_resolutions(16, 512, 8)),  # kodak-like
 ])
+@pytest.mark.slow
 def test_lattice_matches_hash_encode(h, w, bw, res_list):
     spec = HashGridSpec(tuple(int(r) for r in res_list), bw, 2)
     rng = np.random.RandomState(0)
@@ -39,6 +40,7 @@ def test_lattice_matches_hash_encode(h, w, bw, res_list):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lattice_gradients_match():
     spec = HashGridSpec((4, 9, 23), 5, 2)
     h, w = 10, 14

@@ -24,6 +24,7 @@ def _params_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_resume_mid_training_is_exact(tmp_path):
     """Killing a run and resuming from resume_state.ckpt reproduces the
     uninterrupted run bit-exactly (ref resume_state, base_trainer.py:399-421)."""
@@ -50,6 +51,7 @@ def test_resume_mid_training_is_exact(tmp_path):
     _params_equal(t_full.best_params, t_b.best_params)
 
 
+@pytest.mark.slow
 def test_periodic_validation_and_save(tmp_path):
     """valid_every tracks a best-by-validation state; save_every writes
     resume_state.ckpt mid-run (ref base_trainer.py:334,377-381)."""
@@ -97,6 +99,7 @@ def test_model_format_save_load(tmp_path):
             assert state['configs']['model'] == mcfg
 
 
+@pytest.mark.slow
 def test_prob_model_codec_and_stream_roundtrip():
     """use_prob_model size accounting (entropy + codec) and the
     encode->decode roundtrip rebuilding round(codebook) exactly
@@ -133,6 +136,7 @@ def test_prob_model_codec_and_stream_roundtrip():
         rebuilt_pm, np.round(params['grid']['codebook']))
 
 
+@pytest.mark.slow
 def test_tracer_extra_channels():
     """Extra per-sample channels are volume-integrated with the same weights
     as rgb (ref packed_rf_tracer.py:155-168), on both the dense and the
@@ -226,6 +230,7 @@ def test_renderbuffer_channel_kit():
     assert d['rgb'].shape == (2, 4, 3) and d['depth'].shape == (2, 4, 1)
 
 
+@pytest.mark.slow
 def test_multiview_lifecycle(tmp_path):
     """Multiview trainer: periodic val-split validation + checkpoint cadence
     (ref multiview_trainer.py:275-323) with decode-once view rendering."""
@@ -265,6 +270,7 @@ def test_multiview_lifecycle(tmp_path):
     assert img.shape == (16, 16, 3)
 
 
+@pytest.mark.slow
 def test_resume_default_trains_to_configured_end(tmp_path):
     """After restore, train() with no explicit count must finish the
     CONFIGURED schedule (absolute end), not run another full schedule —

@@ -14,6 +14,7 @@ from shacira_tpu.models.grids.latent_grid import (
     LatentGridConfig, latent_grid_init, decode_codebook, grid_size_bits,
     interpolate,
 )
+import pytest
 
 
 def test_ste_one_hot():
@@ -80,6 +81,7 @@ def _grid_cfg(ldecode_type):
                      ldec_std=0.1), ldecode_type=ldecode_type)
 
 
+@pytest.mark.slow
 def test_grid_with_multi_and_hierarchical_decoders():
     for ltype in ('multi', 'hierarchical'):
         cfg = _grid_cfg(ltype)
@@ -98,6 +100,7 @@ def test_grid_with_multi_and_hierarchical_decoders():
         assert float(jnp.abs(g['codebook']).sum()) > 0
 
 
+@pytest.mark.slow
 def test_grid_with_multi_decoder_trains():
     """Tiny image INR with a MultiLatentDecoder converges."""
     from shacira_tpu.datasets.image import ImageDataset

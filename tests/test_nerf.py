@@ -93,6 +93,7 @@ def test_volume_integration_matches_bruteforce():
         np.testing.assert_allclose(float(dep[r, 0]), acc_d, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_compact_eval_matches_dense():
     """Fixed-budget compaction must reproduce the dense masked trace."""
     cfg = occ.OccupancyGridConfig(level=2)
@@ -234,6 +235,7 @@ def test_adaptive_budget_shrinks_after_prune():
     assert np.isfinite(m['psnr']) and m['psnr'] > 10.0, m
 
 
+@pytest.mark.slow
 def test_segmented_trace_matches_dense():
     """segment_size > 0: coarse segment culling + budgeted eval must render
     exactly what the dense path renders when budgets are sufficient (skipped
@@ -277,6 +279,7 @@ def test_segmented_trace_matches_dense():
                                np.asarray(out_d['depth']), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_segmented_trace_budget_truncation_is_graceful():
     """Over-budget segmented tracing must stay finite and reasonable."""
     cfg = occ.OccupancyGridConfig(level=4)
@@ -300,6 +303,7 @@ def test_segmented_trace_budget_truncation_is_graceful():
     assert float(jnp.max(out['alpha'])) <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_deferred_fine_mode_matches_exact():
     """fine_mode='deferred' (paged path): coarse-prefix stage-2 compaction +
     late per-sample fine query renders exactly what 'exact' renders when
@@ -370,6 +374,7 @@ def test_validate_segment_cover_raises_on_undersized_dilation():
         rf_tracer.validate_segment_cover(odd, ocfg, 0.0, 5.0)
 
 
+@pytest.mark.slow
 def test_segmented_trace_clamps_coarse_level_to_occ_level():
     """coarse_level above the occupancy level must clamp, not crash."""
     cfg = occ.OccupancyGridConfig(level=4)      # res 16 < 2**coarse_level
@@ -443,6 +448,7 @@ def test_adaptive_segment_budgets_shrink_after_prune():
                if isinstance(f, tuple) and f[0] == 'chunk')
 
 
+@pytest.mark.slow
 def test_amp_head_close_to_f32():
     """cfg.amp=True runs the MLP head in bf16 (reference AMP autocast,
     base_trainer.py:386) — outputs f32, close to the f32 head."""
@@ -471,6 +477,7 @@ def test_amp_head_close_to_f32():
                                rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_voxel_paged_trace_matches_dense():
     """'voxel' marching through the paged trace (encode_split): each
     intersected cell's sample group rides the segment machinery — must
@@ -521,6 +528,7 @@ def test_voxel_paged_trace_matches_dense():
                                    rtol=1e-4, atol=1e-4, err_msg=ch)
 
 
+@pytest.mark.slow
 def test_kernel_fine_mode_matches_deferred():
     """fine_mode='kernel' (in-kernel fine occupancy): with ample budgets the
     training trajectory must match fine_mode='deferred' exactly — the
@@ -606,6 +614,7 @@ def _axis_rays(R, seed=7):
     return make_rays(o, d, 0.0, 4.0)
 
 
+@pytest.mark.slow
 def test_term_tau_culls_occluded_ray_segments():
     """term_tau transmittance culling ('ray'): segments behind the opaque
     wall are dropped from stage-1 (their integration weight is ~e^-80)
@@ -647,6 +656,7 @@ def test_term_tau_culls_occluded_ray_segments():
     assert int(jnp.sum(mask_p)) == live1
 
 
+@pytest.mark.slow
 def test_term_tau_culls_occluded_voxel_cells():
     """term_tau transmittance culling ('voxel' paged trace): occluded
     cell intersections are dropped while the render matches; the paged
@@ -695,6 +705,7 @@ def test_term_tau_culls_occluded_voxel_cells():
                                np.asarray(out_d['rgb']), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_trainer_term_tau_trains():
     """End-to-end training with transmittance culling on: the trainer
     stashes the packed coarse grid at prune refreshes, the adaptive
@@ -800,3 +811,93 @@ def test_raymarch_voxel_overflow_keeps_first_crossings():
     starts = depth[0, :, 0]
     assert np.all(np.diff(starts) > 0), starts
     assert abs(starts[0] - 1.0) < 0.2, starts
+
+
+@pytest.mark.slow
+def test_lean_stage1_matches_deferred_statistically():
+    """cfg.lean_stage1: the lean deferred march (analytic midpoints,
+    counter-hash jitter, uniform span/(S-1) quadrature) renders the same
+    image as the standard deferred path up to jitter noise — both are
+    stratified estimators of the same integral — and is deterministic
+    given its (2,)-seed input."""
+    cfg = occ.OccupancyGridConfig(level=5)
+    state = occ.occupancy_init(cfg)
+    res = cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.55 ** 2
+    state = {**state, 'occ': jnp.asarray(sphere)}
+
+    def encode_fn(coords, grouping):
+        return jnp.concatenate([jnp.sin(2.0 * coords), coords ** 2], -1)
+
+    def head_fn(feats, dirs):
+        color = 0.5 + 0.4 * jnp.tanh(feats[..., :3] + dirs)
+        density = 3.0 * jax.nn.sigmoid(jnp.sum(feats[..., 3:], -1,
+                                               keepdims=True))
+        return color, density
+
+    R, S = 48, 512
+    rng_rays = np.random.RandomState(3)
+    o = np.asarray([[2.0, 0.3, 0.1]], np.float32) + np.zeros((R, 3),
+                                                             np.float32)
+    to_pts = rng_rays.uniform(-0.8, 0.8, (R, 3)).astype(np.float32)
+    d = to_pts - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(o, d, 0.0, 4.0)
+    key = jax.random.PRNGKey(11)
+
+    def run(lean, rng):
+        tc = rf_tracer.RFTracerConfig(
+            raymarch_type='ray', num_steps=S, bg_color='white',
+            max_samples=8192, segment_size=8, seg_budget=2048,
+            coarse_level=4, seg_dilation=2, eval_seg_budget=2048,
+            group_segs_per_block=4, fine_mode='deferred', lean_stage1=lean)
+        return rf_tracer.trace(None, state, cfg, tc, rays, rng,
+                               encode_split=(encode_fn, head_fn))
+
+    ref = run(False, key)
+    lean = run(True, key)
+    # same integral, different jitter stream: close but not bit-equal
+    diff = np.abs(np.asarray(lean['rgb']) - np.asarray(ref['rgb']))
+    assert diff.mean() < 0.01 and diff.max() < 0.08, (diff.mean(), diff.max())
+
+    # deterministic given the pre-drawn (2,) seed array (shard_map input)
+    u = jnp.asarray([0.3125, 0.7812], jnp.float32)
+    a = run(True, u)
+    b = run(True, u)
+    np.testing.assert_array_equal(np.asarray(a['rgb']), np.asarray(b['rgb']))
+    # and the jitter-shape contract advertises the seed form
+    tc = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=S, segment_size=8,
+        eval_seg_budget=2048, max_samples=8192, fine_mode='deferred',
+        lean_stage1=True)
+    assert rf_tracer.march_jitter_shape(tc, R) == (2,)
+
+
+@pytest.mark.slow
+def test_lean_stage1_budget_truncation_graceful():
+    cfg = occ.OccupancyGridConfig(level=4)
+    state = occ.occupancy_init(cfg)   # fully occupied -> heavy truncation
+
+    def encode_fn(coords, grouping):
+        return coords
+
+    def head_fn(feats, dirs):
+        return 0.5 + 0.0 * feats, jnp.ones_like(feats[..., :1])
+
+    R, S = 16, 128
+    o = np.zeros((R, 3), np.float32)
+    o[:, 2] = -2.0
+    d = np.zeros((R, 3), np.float32)
+    d[:, 2] = 1.0
+    rays = make_rays(o, d, 0.0, 4.0)
+    tc = rf_tracer.RFTracerConfig(
+        raymarch_type='ray', num_steps=S, bg_color='white',
+        max_samples=256, segment_size=8, coarse_level=4, seg_dilation=2,
+        eval_seg_budget=32, group_segs_per_block=4,
+        fine_mode='deferred', lean_stage1=True)
+    out = rf_tracer.trace(None, state, cfg, tc, rays, jax.random.PRNGKey(0),
+                          encode_split=(encode_fn, head_fn))
+    assert np.isfinite(np.asarray(out['rgb'])).all()
+    assert float(jnp.max(out['alpha'])) <= 1.0 + 1e-5

@@ -6,6 +6,7 @@ import numpy as np
 from shacira_tpu.ops import spc
 from shacira_tpu.models.grids import octree_grid as og
 from shacira_tpu.models.grids import triplanar_grid as tg
+import pytest
 
 
 def test_morton_roundtrip():
@@ -75,6 +76,7 @@ def test_octree_grid_gradients_flow():
     assert sum(float(jnp.abs(x).sum()) for x in g['features']) > 0
 
 
+@pytest.mark.slow
 def test_codebook_grid_train_eval_and_size():
     cfg = og.CodebookOctreeGridConfig(feature_dim=3, base_lod=2, num_lods=2,
                                       feature_std=0.5, codebook_bitwidth=3)
@@ -98,6 +100,7 @@ def test_codebook_grid_train_eval_and_size():
     assert bits > 0
 
 
+@pytest.mark.slow
 def test_triplanar_grid():
     cfg = tg.TriplanarGridConfig(feature_dim=2, base_lod=2, num_lods=3,
                                  multiscale_type='sum', feature_std=0.1)

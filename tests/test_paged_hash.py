@@ -150,6 +150,7 @@ def test_permute_rows_roundtrip_and_grad():
     np.testing.assert_allclose(g[4], 0.0)   # never selected
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('ld,page_res', [(1, 16), (2, 16), (1, 32), (2, 32)])
 def test_paged_interp_matches_xla_reference(ld, page_res):
     """Kernel (interpret mode, f32) == plain gather on the paged spec —
@@ -206,6 +207,7 @@ def test_paged_interp_matches_xla_reference(ld, page_res):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('ld,page_res', [(1, 16), (2, 16), (2, 32)])
 def test_blocklocal_direct_matches_xla_reference(ld, page_res):
     """Direct (dense) LODs in-kernel via per-cell slabs == plain gather,
@@ -302,6 +304,7 @@ def test_validate_paged_cover():
         ph.validate_paged_cover(spec, seg_half01=0.1)  # too long at res 32
 
 
+@pytest.mark.slow
 def test_prune_paged_matches_flat_density():
     """The paged prune fast path (static grouping over the occupancy grid)
     must reproduce the flat-path density at the same jittered points."""
@@ -370,6 +373,7 @@ def test_voxel_paged_trainer_trains():
     assert np.isfinite(m['psnr']) and m['psnr'] > 10, m
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('spb,g', [(32, 8), (64, 4)])
 def test_paged_interp_wide_blocks_match_xla(spb, g):
     """Blocks wider than 128 rows (B = spb*g = 256) run as two 128-lane
@@ -410,6 +414,7 @@ def test_paged_interp_wide_blocks_match_xla(spb, g):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_in_kernel_occupancy_matches_query():
     """The occupancy pseudo-LOD (fine_mode='kernel' machinery): the
     bit-packed slab + in-kernel nearest one-hot select + bit extraction

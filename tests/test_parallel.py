@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from shacira_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
 from shacira_tpu.datasets.image import ImageDataset
@@ -33,6 +34,7 @@ def test_mesh_has_8_devices():
     assert mesh.size == 8          # conftest forces 8 virtual CPU devices
 
 
+@pytest.mark.slow
 def test_sharded_training_matches_single_device():
     t1 = _setup(mesh=None)
     t1.train(epochs=60, finalize=False)
@@ -59,6 +61,7 @@ def test_batch_actually_sharded():
     assert p.addressable_shards[0].data.shape == (3,)
 
 
+@pytest.mark.slow
 def test_device_sampled_training_under_mesh():
     """Sampled modes with device-side batch drawing run SPMD: params
     replicated, per-step drawn batch sharded across the data axis, and the
@@ -92,6 +95,7 @@ def test_device_sampled_training_under_mesh():
     np.testing.assert_allclose(single, sharded, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_nerf_sharded_table_work_matches_single_device():
     """NeRF data-parallel step with SHARDED codebook-side table work: the
     SGA quantize / rate-loss / Adam moments of the latent table run on T/n
@@ -141,6 +145,7 @@ def test_nerf_sharded_table_work_matches_single_device():
     np.testing.assert_allclose(single, sharded, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_nerf_paged_shard_map_trace_matches_single_device():
     """The PAGED trace under jax.shard_map over the ray axis: march,
     budgeted compactions, segment grouping, and the paged Pallas encode

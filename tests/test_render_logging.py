@@ -9,6 +9,7 @@ from shacira_tpu.render import offline
 from shacira_tpu.core.renderbuffer import RenderBuffer
 from shacira_tpu.utils.logging import ExperimentLogger
 from shacira_tpu.utils import checkpoint
+import pytest
 
 
 def test_lookat_rays_geometry():
@@ -203,6 +204,7 @@ def test_pipeline_and_decode_once():
     assert out.shape == (4, 6)
 
 
+@pytest.mark.slow
 def test_optimization_app_trains_while_serving():
     """OptimizationApp (ref wisp optimization_app.py:19-108): training runs
     in the background while the HTTP viewer renders live frames against the

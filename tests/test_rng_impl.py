@@ -28,6 +28,7 @@ def test_step_key_identity_and_wrap():
         step_key(k, 'nope')
 
 
+@pytest.mark.slow
 def test_image_trainer_rng_impl_and_noise_cond():
     """unsafe_rbg trains the image path; noise is only refreshed on
     noise_freq boundaries (lax.cond path)."""
@@ -63,6 +64,7 @@ def test_image_trainer_rng_impl_and_noise_cond():
     assert np.isfinite(tr.history[-1]['rgb_loss'])
 
 
+@pytest.mark.slow
 def test_noise_freq_cond_keeps_noise_between_refreshes():
     """With noise_freq=1000 the first chunk refreshes once (iter 1) and the
     noise then stays bit-identical across later steps."""

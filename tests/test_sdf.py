@@ -12,6 +12,7 @@ from shacira_tpu.datasets import sdf as sdf_ds
 from shacira_tpu.models.grids.latent_grid import LatentGridConfig
 from shacira_tpu.models.nefs.sdf import NeuralSDFConfig, neural_sdf_init, neural_sdf
 from shacira_tpu.trainers.sdf_trainer import SDFTrainer, SDFTrainerConfig
+import pytest
 
 
 def sphere_sdf(p, r=0.5):
@@ -133,6 +134,7 @@ def test_sdf_trainer_with_growth():
     assert tr.iteration == 40
 
 
+@pytest.mark.slow
 def test_sdf_render_shading_modes():
     """SDFTrainer.render: normal / matcap / shadow shading produce sane
     images of a trained sphere (ref offline_renderer shading paths +

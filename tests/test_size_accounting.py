@@ -132,6 +132,7 @@ def test_side_info_accounting():
     assert p1 == p0 + pm_bits
 
 
+@pytest.mark.slow
 def test_image_finalize_reports_both_streams():
     """ImageTrainer.finalize(): headline BPP is the prob-model stream
     (+ counted BitEstimator params); the histogram variant with its side

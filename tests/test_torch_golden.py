@@ -22,6 +22,7 @@ from shacira_tpu.models.grids.latent_grid import (
 from shacira_tpu.models.nefs.image import (
     NeuralImageConfig, neural_image_init, neural_image_rgb)
 from shacira_tpu import optim as jopt
+import pytest
 
 SPEC = dict(feature_dim=2, num_lods=4, min_grid_res=4, max_grid_res=32,
             latent_dim=1, multiscale_type='cat', resolution_dim=2,
@@ -85,6 +86,7 @@ class STERound(torch.autograd.Function):
         return g
 
 
+@pytest.mark.slow
 def test_end_to_end_step_matches_torch():
     gcfg = LatentGridConfig.from_geometric(**SPEC).with_ldec(
         dict(norm='none', ldecode_matrix='sq', use_shift=True, ldec_std=0.4))
