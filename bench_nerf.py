@@ -111,7 +111,8 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
 def measure_pruned(iters: int = 200, coarse_level: int = 7,
                    seg_dilation: int = 2, seg_budget: int = 32768,
                    fine_mode: str = 'deferred', term_tau: float = 0.0,
-                   group_seg_size: int = 0, lean_stage1: bool = False):
+                   group_seg_size: int = 0, lean_stage1: bool = False,
+                   segment_size: int = 16, super_factor: int = 0):
     """Sustained rays/s on the reference's ACTUAL lego workload: pruning
     every 100 iterations (nerf_lego.yaml) with adaptive sample/segment
     budgets.  After the occupancy grid settles (~7% cells), every stage
@@ -139,12 +140,20 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                      view_embedder='positional',
                                      view_multires=4, blas_level=7,
                                      amp=True)
+    # culling segments of ``segment_size`` samples; eval/segment budgets
+    # scale so the ROW budgets stay constant across segment sizes.  At
+    # segment_size 32 the grouped sub-segment stays 16 samples (the paged
+    # cover bound is on the SUB-segment).
+    if segment_size > 16 and not group_seg_size:
+        group_seg_size = 16
+    seg_scale = segment_size // 16
     tcfg = rf_tracer.RFTracerConfig(raymarch_type='ray', num_steps=2048,
                                     bg_color='white', max_samples=262144,
-                                    segment_size=16, coarse_level=coarse_level,
+                                    segment_size=segment_size,
+                                    coarse_level=coarse_level,
                                     seg_dilation=seg_dilation,
-                                    seg_budget=seg_budget,
-                                    eval_seg_budget=24576,
+                                    seg_budget=seg_budget // seg_scale,
+                                    eval_seg_budget=24576 // seg_scale,
                                     group_seg_size=group_seg_size,
                                     # kernel blocks must stay >=128 rows
                                     # (Mosaic lane reshape limit)
@@ -152,7 +161,8 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                         max(8, 128 // group_seg_size)
                                         if group_seg_size else 8),
                                     fine_mode=fine_mode, term_tau=term_tau,
-                                    lean_stage1=lean_stage1)
+                                    lean_stage1=lean_stage1,
+                                    super_factor=super_factor)
     cfg = MultiviewTrainerConfig(epochs=300, prune_every=100, chunk_size=50,
                                  rng_impl='unsafe_rbg',
                                  use_sga=True, temperature=1.0,
@@ -190,7 +200,11 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                   '4096 rays/iter, prune/100 + adaptive budgets, paged '
                   f'encode, {fine_mode} fine mode'
                   + (f', term_tau={term_tau}' if term_tau > 0 else '')
-                  + (', lean stage-1' if lean_stage1 else ''),
+                  + (', lean stage-1' if lean_stage1 else '')
+                  + (f', super_factor={super_factor}' if super_factor > 1
+                     else '')
+                  + (f', segment_size={segment_size}'
+                     if segment_size != 16 else ''),
     }
 
 
@@ -270,12 +284,20 @@ def main():
     if '--gss' in sys.argv:
         gss = int(sys.argv[sys.argv.index('--gss') + 1])
     lean = '--lean' in sys.argv
+    segsz = 16
+    if '--seg-size' in sys.argv:
+        segsz = int(sys.argv[sys.argv.index('--seg-size') + 1])
+    superf = 0
+    if '--super' in sys.argv:
+        superf = int(sys.argv[sys.argv.index('--super') + 1])
     if '--pruned' in sys.argv:
         print(json.dumps(measure_pruned(iters=max(iters, 200),
                                         fine_mode=fine_mode,
                                         term_tau=term_tau,
                                         group_seg_size=gss,
-                                        lean_stage1=lean)))
+                                        lean_stage1=lean or superf > 1,
+                                        segment_size=segsz,
+                                        super_factor=superf)))
         return
     if '--voxel' in sys.argv:
         print(json.dumps(measure_voxel(paged='--paged' in sys.argv,

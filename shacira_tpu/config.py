@@ -163,6 +163,8 @@ def add_nerf_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument('--term-tau', type=float, default=0.0)
     # lean stage-1 march (deferred fine mode; see RFTracerConfig)
     g.add_argument('--lean-stage1', type=_bool, default=False)
+    # two-level super-segment cull (lean only; dilation auto-derived)
+    g.add_argument('--super-factor', type=int, default=0)
 
     g = parser.add_argument_group('net')  # nerf nef extras
     g.add_argument('--view-embedder', type=str, default='positional')
@@ -423,5 +425,6 @@ def build_tracer_config(args):
         fine_mode=args.fine_mode,
         term_tau=getattr(args, 'term_tau', 0.0),
         lean_stage1=getattr(args, 'lean_stage1', False),
+        super_factor=getattr(args, 'super_factor', 0),
         group_seg_size=getattr(args, 'group_seg_size', 0),
         group_res=getattr(args, 'page_res', 16) // 2)

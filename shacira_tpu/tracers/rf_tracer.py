@@ -96,6 +96,18 @@ class RFTracerConfig:
     # Before the first prune the density cache is zero and nothing is
     # culled (conservative).
     term_tau: float = 0.0
+    # two-level cull (lean stage-1 only): test SUPER-segments of
+    # ``super_factor`` consecutive culling segments first against a
+    # ``super_dilation``-dilated occupancy (conservative: the dilated cell
+    # of a super midpoint covers the whole super-segment —
+    # validate_segment_cover checks the bound), compact the survivors, and
+    # run the per-segment midpoint/term tests only on their
+    # ``super_factor * budget`` segments.  Cuts the fixed [R, ns]
+    # gather + 524K-slot compaction to [R, ns/F] (+ sparse segment rows).
+    # Exactly the same segments survive as the one-level test when
+    # budgets don't truncate (the super test is conservative).
+    super_factor: int = 0          # segments per super-segment (0/1 = off)
+    super_dilation: int = 0        # dilation of the super midpoint test
     # lean stage-1 (fine_mode='deferred' 'ray' marching only): never
     # materialize the [R, num_steps] depth/delta/jitter ladders.  Segment
     # midpoints are analytic (segment centers; the cover bound already
@@ -344,6 +356,18 @@ def segment_cover_radius(cfg: RFTracerConfig,
     return cfg.seg_dilation * (2.0 / _coarse_res(cfg, occ_cfg))
 
 
+def super_dilation_for(cfg: RFTracerConfig, occ_cfg: occ.OccupancyGridConfig,
+                       dist_min: float, dist_max: float) -> int:
+    """Minimal conservative dilation for the super-segment midpoint test:
+    the dilated cell must cover the whole ``super_factor * segment_size``
+    sample span (+1 sample of jitter slack)."""
+    f = max(cfg.super_factor, 1)
+    half = (float(dist_max) - float(dist_min)) * (
+        f * cfg.segment_size / 2 + 1) / cfg.num_steps
+    rc = _coarse_res(cfg, occ_cfg)
+    return int(np.ceil(half / (2.0 / rc)))
+
+
 def validate_segment_cover(cfg: RFTracerConfig,
                            occ_cfg: occ.OccupancyGridConfig,
                            dist_min: float, dist_max: float):
@@ -363,6 +387,19 @@ def validate_segment_cover(cfg: RFTracerConfig,
         raise ValueError(
             f'segment half-length {seg_half:.4f} exceeds coarse cover '
             f'{cover:.4f}; raise seg_dilation or lower coarse_level')
+    if cfg.super_factor > 1:
+        if not (cfg.lean_stage1 and cfg.fine_mode == 'deferred'):
+            raise ValueError('super_factor requires lean_stage1 + deferred')
+        ns = cfg.num_steps // cfg.segment_size
+        if ns % cfg.super_factor:
+            raise ValueError(
+                f'super_factor {cfg.super_factor} must divide the '
+                f'{ns}-segment ladder')
+        need = super_dilation_for(cfg, occ_cfg, dist_min, dist_max)
+        if cfg.super_dilation < need:
+            raise ValueError(
+                f'super_dilation {cfg.super_dilation} < required {need} '
+                f'for super_factor {cfg.super_factor}')
 
 
 def _coarse_dilated_occupancy(occ_state, occ_cfg: occ.OccupancyGridConfig,
@@ -564,6 +601,91 @@ def _segment_liveness(occ_state, occ_cfg, cfg: RFTracerConfig, rays: Rays,
     return mask_c
 
 
+def super_grid(occ_state, occ_cfg: occ.OccupancyGridConfig,
+               cfg: RFTracerConfig):
+    """Dilated occupancy for the super-segment midpoint test (two-level
+    cull).  Trainers stash it as ``occ_state['super']`` once per prune."""
+    return _coarse_dilated_occupancy(occ_state, occ_cfg,
+                                     _coarse_res(cfg, occ_cfg),
+                                     cfg.super_dilation)
+
+
+def _lean_src2_two_level(occ_state, occ_cfg, cfg: RFTracerConfig,
+                         rays: Rays, span, dmin):
+    """Two-level lean stage-1: super-segment cull + sparse per-segment
+    tests.  Returns (src2 [k2] flat segment ids, valid2 [k2]) in
+    (ray, depth) order — identical survivors to the one-level test when
+    budgets don't truncate."""
+    G = cfg.segment_size
+    S = cfg.num_steps
+    ns = S // G
+    F = cfg.super_factor
+    ns_s = ns // F
+    R = rays.origins.shape[0]
+    k2 = cfg.eval_seg_budget
+    rc = _coarse_res(cfg, occ_cfg)
+
+    # --- super level: [R, ns_s] midpoint test on the dilated grid -------
+    jmid_s = (jnp.arange(ns_s) * (F * G) + (F * G - 1) / 2.0) / (S - 1) \
+        + 0.5 / S
+    t_s = jmid_s[None, :] * span + dmin                       # [R, ns_s]
+    mid_s = rays.origins[:, None, :] + rays.dirs[:, None, :] * t_s[..., None]
+    cover_s = cfg.super_dilation * (2.0 / rc)
+    inside_s = jnp.all(jnp.abs(mid_s) <= 1.0 + cover_s, axis=-1)
+    sgrid = occ_state.get('super')
+    if sgrid is None:
+        sgrid = super_grid(occ_state, occ_cfg, cfg)
+    ci_s = jnp.clip(jnp.floor((mid_s * 0.5 + 0.5) * rc), 0,
+                    rc - 1).astype(jnp.int32)
+    mask_s = sgrid[ci_s[..., 0], ci_s[..., 1], ci_s[..., 2]] & inside_s
+
+    ks = k2                                    # super budget = the k2 rung
+    src_s, valid_s, _ = _stride_compact(mask_s.reshape(-1), ks)
+    r_s = src_s // ns_s
+    si_s = src_s - r_s * ns_s                                 # [ks]
+
+    # --- segment level on the ks*F sparse rows --------------------------
+    si = si_s[:, None] * F + jnp.arange(F, dtype=jnp.int32)[None, :]
+    seg_ids = r_s[:, None] * ns + si                          # [ks, F]
+    span_s = jnp.take(span[:, 0], r_s)[:, None]
+    dmin_s = jnp.take(dmin[:, 0], r_s)[:, None]
+    t_mid = ((si * G + (G - 1) / 2.0) / (S - 1) + 0.5 / S) * span_s + dmin_s
+    o_s = jnp.take(rays.origins, r_s, axis=0)[:, None, :]
+    d_s = jnp.take(rays.dirs, r_s, axis=0)[:, None, :]
+    mid = o_s + d_s * t_mid[..., None]                        # [ks, F, 3]
+    cover = segment_cover_radius(cfg, occ_cfg)
+    inside = jnp.all(jnp.abs(mid) <= 1.0 + cover, axis=-1)
+    ci = jnp.clip(jnp.floor((mid * 0.5 + 0.5) * rc), 0,
+                  rc - 1).astype(jnp.int32)
+    if cfg.term_tau > 0:
+        packed = occ_state.get('coarse2')
+        if packed is None:
+            packed = coarse_packed_grid(occ_state, occ_cfg, cfg)
+        v = packed[ci[..., 0], ci[..., 1], ci[..., 2]]        # [ks, F, 2]
+        mask_c = (v[..., 0] > 0) & inside & valid_s[:, None]
+        seg_len = span_s * (G / (S - 1))
+        tau = jnp.where(mask_c, v[..., 1] * seg_len, 0.0).reshape(-1)
+        # exclusive per-RAY cumsum over the (ray, depth)-ordered rows;
+        # super-dead segments contribute zero (their density cache is
+        # below the prune threshold — same assumption as the dense path)
+        rs_flat = jnp.repeat(r_s, F)
+        ray_start = jnp.concatenate(
+            [jnp.ones((1,), bool), rs_flat[1:] != rs_flat[:-1]])
+        cum = _segmented_cumsum_excl(tau, ray_start)
+        mask_c = mask_c & (cum.reshape(ks, F) <= cfg.term_tau)
+    else:
+        coarse = occ_state.get('coarse')
+        if coarse is None:
+            coarse = _coarse_dilated_occupancy(occ_state, occ_cfg, rc,
+                                               cfg.seg_dilation)
+        mask_c = (coarse[ci[..., 0], ci[..., 1], ci[..., 2]]
+                  & inside & valid_s[:, None])
+
+    sel, valid2, _ = _stride_compact(mask_c.reshape(-1), k2)
+    src2 = jnp.take(seg_ids.reshape(-1), sel)
+    return src2, valid2
+
+
 def _trace_ray_deferred_lean(occ_state, occ_cfg, cfg: RFTracerConfig,
                              rays: Rays, rng, fine_qfn):
     """Lean deferred-fine march (``cfg.lean_stage1``): stage-1 touches only
@@ -583,14 +705,17 @@ def _trace_ray_deferred_lean(occ_state, occ_cfg, cfg: RFTracerConfig,
     dmax = jnp.broadcast_to(rays.dist_max, (R,))[:, None]
     span = dmax - dmin                                        # [R, 1]
 
-    # analytic segment midpoints: center sample index + expected jitter
-    jmid = (jnp.arange(ns) * G + (G - 1) / 2.0) / (S - 1) + 0.5 / S
-    t_mid = jmid[None, :] * span + dmin                       # [R, ns]
-    mask_c = _segment_liveness(occ_state, occ_cfg, cfg, rays, t_mid,
-                               dmin, dmax)
-
     k2 = cfg.eval_seg_budget
-    src2, valid2, _ = _stride_compact(mask_c.reshape(-1), k2)
+    if cfg.super_factor > 1:
+        src2, valid2 = _lean_src2_two_level(occ_state, occ_cfg, cfg, rays,
+                                            span, dmin)
+    else:
+        # analytic segment midpoints: center sample index + expected jitter
+        jmid = (jnp.arange(ns) * G + (G - 1) / 2.0) / (S - 1) + 0.5 / S
+        t_mid = jmid[None, :] * span + dmin                   # [R, ns]
+        mask_c = _segment_liveness(occ_state, occ_cfg, cfg, rays, t_mid,
+                                   dmin, dmax)
+        src2, valid2, _ = _stride_compact(mask_c.reshape(-1), k2)
     r_id = src2 // ns
     si = src2 - r_id * ns                                     # segment in ray
     j = si[:, None] * G + jnp.arange(G, dtype=jnp.int32)[None, :]  # [k2, G]

@@ -195,6 +195,16 @@ class MultiviewTrainer:
             cfg.ldec_lr_warmup, 'linear', 0.1 * cfg.ldec_lr, cfg.ldec_lr)
 
         self.iteration = 0
+        if tracer_cfg.super_factor > 1 and tracer_cfg.super_dilation == 0:
+            # derive the minimal conservative super-cull dilation from the
+            # dataset's ray distance bounds
+            from dataclasses import replace as _replace
+            tracer_cfg = _replace(
+                tracer_cfg,
+                super_dilation=rf_tracer.super_dilation_for(
+                    tracer_cfg, model_cfg.occ_cfg,
+                    float(dataset.dist_min), float(dataset.dist_max)))
+            self.tracer_cfg = tracer_cfg
         self.active_tracer_cfg = tracer_cfg
         self._fns = {}
         if tracer_cfg.segment_size > 0:
@@ -490,7 +500,7 @@ class MultiviewTrainer:
         per-step program): the coarse culling grid, and in
         fine_mode='kernel' the bit-packed occupancy slab + the dilated
         sub-segment liveness grid."""
-        derived = ('coarse', 'coarse2', 'occ_slab', 'fine_dil')
+        derived = ('coarse', 'coarse2', 'occ_slab', 'fine_dil', 'super')
         if 'coarse' not in self._fns:
             tcfg = self.tracer_cfg
             self._fns['coarse'] = jax.jit(
@@ -500,10 +510,16 @@ class MultiviewTrainer:
                 self._fns['coarse2'] = jax.jit(
                     lambda s: rf_tracer.coarse_packed_grid(
                         s, self.model_cfg.occ_cfg, tcfg))
+            if tcfg.super_factor > 1:
+                self._fns['super'] = jax.jit(
+                    lambda s: rf_tracer.super_grid(
+                        s, self.model_cfg.occ_cfg, tcfg))
         base = {k: v for k, v in self.occ_state.items() if k not in derived}
         new = dict(base, coarse=self._fns['coarse'](base))
         if 'coarse2' in self._fns:
             new['coarse2'] = self._fns['coarse2'](base)
+        if 'super' in self._fns:
+            new['super'] = self._fns['super'](base)
         if self.tracer_cfg.fine_mode == 'kernel':
             from shacira_tpu.ops import paged_hash as ph
             if 'occ_slab' not in self._fns:

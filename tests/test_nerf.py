@@ -744,6 +744,7 @@ def test_trainer_term_tau_trains():
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_group_seg_size_renders_identically():
     """group_seg_size (sub-segment grouping granularity) only changes which
     kernel blocks the rows land in — with ample budgets the paged render
@@ -901,3 +902,63 @@ def test_lean_stage1_budget_truncation_graceful():
                           encode_split=(encode_fn, head_fn))
     assert np.isfinite(np.asarray(out['rgb'])).all()
     assert float(jnp.max(out['alpha'])) <= 1.0 + 1e-5
+
+
+@pytest.mark.slow
+def test_super_cull_matches_one_level():
+    """super_factor two-level cull: identical rendering to the one-level
+    lean march when budgets don't truncate (the super test is conservative
+    and the same counter-hash jitter keys apply to surviving segments)."""
+    cfg = occ.OccupancyGridConfig(level=5)
+    state = occ.occupancy_init(cfg)
+    res = cfg.res
+    g = np.linspace(-1, 1, res, endpoint=False) + 1.0 / res
+    xx, yy, zz = np.meshgrid(g, g, g, indexing='ij')
+    sphere = (xx ** 2 + yy ** 2 + zz ** 2) < 0.55 ** 2
+    state = {**state, 'occ': jnp.asarray(sphere)}
+    state = {**state,
+             'density': jnp.asarray(sphere, jnp.float32) * 5.0}
+
+    def encode_fn(coords, grouping):
+        return jnp.concatenate([jnp.sin(2.0 * coords), coords ** 2], -1)
+
+    def head_fn(feats, dirs):
+        color = 0.5 + 0.4 * jnp.tanh(feats[..., :3] + dirs)
+        density = 3.0 * jax.nn.sigmoid(jnp.sum(feats[..., 3:], -1,
+                                               keepdims=True))
+        return color, density
+
+    R, S = 48, 512
+    rng_rays = np.random.RandomState(3)
+    o = np.asarray([[2.0, 0.3, 0.1]], np.float32) + np.zeros((R, 3),
+                                                             np.float32)
+    to_pts = rng_rays.uniform(-0.8, 0.8, (R, 3)).astype(np.float32)
+    d = to_pts - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(o, d, 0.0, 4.0)
+    u = jnp.asarray([0.25, 0.5], jnp.float32)   # fixed lean seed
+
+    def run(superf, term_tau=0.0):
+        tc = rf_tracer.RFTracerConfig(
+            raymarch_type='ray', num_steps=S, bg_color='white',
+            max_samples=8192, segment_size=8, coarse_level=4,
+            seg_dilation=2, eval_seg_budget=2048, group_segs_per_block=4,
+            fine_mode='deferred', lean_stage1=True, term_tau=term_tau,
+            super_factor=superf,
+            super_dilation=(rf_tracer.super_dilation_for(
+                rf_tracer.RFTracerConfig(
+                    raymarch_type='ray', num_steps=S, segment_size=8,
+                    coarse_level=4, super_factor=superf),
+                cfg, 0.0, 4.0) if superf > 1 else 0))
+        rf_tracer.validate_segment_cover(tc, cfg, 0.0, 4.0)
+        return rf_tracer.trace(None, state, cfg, tc, rays, u,
+                               encode_split=(encode_fn, head_fn))
+
+    for term in (0.0, 11.5):
+        one = run(0, term)
+        two = run(4, term)
+        for ch in ('rgb', 'alpha', 'depth'):
+            np.testing.assert_allclose(np.asarray(two[ch]),
+                                       np.asarray(one[ch]),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f'{ch} term={term}')

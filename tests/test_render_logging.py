@@ -56,6 +56,7 @@ def test_renderbuffer_blend():
                                   [True, False, True, True])
 
 
+@pytest.mark.slow
 def test_experiment_logger(tmp_path):
     logger = ExperimentLogger(str(tmp_path), 'test')
     logger.scalar('loss', 0.5, 1)
