@@ -105,14 +105,18 @@ def run_stage(name: str):
     elif name == 'nerf_sustained':
         # the reference's actual lego workload: prune/100 + adaptive budgets,
         # transmittance culling at a ~1e-5 weight cutoff (quality-neutral:
-        # tests + CPU convergence A/B +0.1 dB)
+        # tests + CPU convergence A/B +0.1 dB), lean stage-1 march + the
+        # two-level super-segment cull (render-identical by construction;
+        # equivalence tests in tests/test_nerf.py; r5 A/B on-chip:
+        # 93.3 -> 97.4 (lean) -> 102.6K rays/s (super))
         out = bench_nerf.measure_pruned(coarse_level=7, seg_dilation=2,
-                                        seg_budget=32768, term_tau=11.5)
+                                        seg_budget=32768, term_tau=11.5,
+                                        lean_stage1=True, super_factor=4)
     elif name == 'nerf_dense':
         # unpruned worst case with the tuned march (128-res stage-1 culling,
-        # dilation 2, 32K segment budget)
+        # dilation 2, 32K segment budget) + lean stage-1
         out = bench_nerf.measure(paged=True, coarse_level=7, seg_dilation=2,
-                                 seg_budget=32768)
+                                 seg_budget=32768, lean_stage1=True)
     elif name == 'voxel':
         out = bench_nerf.measure_voxel(paged=True, term_tau=11.5)
     else:
