@@ -129,7 +129,8 @@ def main():
         for k in ('rays_o', 'rays_d', 'gt'):
             xs[k] = jax.device_put(xs[k], sh)
         lowered = jax.jit(step).lower(tr.params, tr.opt_state, tr.noise,
-                                      tr.occ_state, xs)
+                                      tr.occ_state, tr.structure_tables,
+                                      xs)
         hlo = lowered.compile().as_text()
         colls = collect_collectives(hlo)
 
@@ -175,6 +176,13 @@ def main():
     reports.append(inventory(pmcfg, ptcfg,
                              'paged shard_map trace (lego production '
                              f'shape, {rays} rays/step)'))
+    # r5 production config: lean stage-1 + two-level super cull
+    import dataclasses
+    ltcfg = dataclasses.replace(ptcfg, lean_stage1=True, super_factor=4,
+                                super_dilation=0)
+    reports.append(inventory(pmcfg, ltcfg,
+                             'paged shard_map trace + lean/super '
+                             f'({rays} rays/step)'))
 
     report = {'mesh_devices': int(mesh.size), 'runs': reports}
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
