@@ -127,3 +127,32 @@ def test_train_nerf_app_e2e(tmp_path):
     with open(os.path.join(exp, 'metrics.json')) as f:
         m2 = json.load(f)
     assert np.isfinite(m2['psnr'])
+
+
+@pytest.mark.slow
+def test_train_nerf_app_octree_backbone(tmp_path):
+    """apps/train_nerf.py with --grid-type CodebookOctreeGrid: the full app
+    path (config dispatch, structure build, training, validation, size
+    report with entropy-coded assignments, turntable) on a tiny scene."""
+    from tools.make_synthetic_data import write_nerf_scene
+    from shacira_tpu.apps import train_nerf
+
+    scene = str(tmp_path / 'scene')
+    write_nerf_scene(scene, views=6, val_views=2, res=16)
+    log_dir = str(tmp_path / 'runs')
+    args = ['--dataset-path', scene, '--log-dir', log_dir,
+            '--exp-name', 'cb_e2e', '--epochs', '4', '--chunk-size', '6',
+            '--grid-type', 'CodebookOctreeGrid',
+            '--base-lod', '2', '--num-lods', '2',
+            '--codebook-bitwidth', '4', '--feature-dim', '2',
+            '--feature-std', '0.05', '--multiscale-type', 'sum',
+            '--hidden-dim', '8', '--num-layers', '1', '--blas-level', '3',
+            '--num-steps', '32', '--num-rays-sampled-per-img', '64',
+            '--render-batch', '128', '--log-every', '-1']
+    assert train_nerf.main(args) == 0
+    exp = os.path.join(log_dir, 'cb_e2e')
+    with open(os.path.join(exp, 'metrics.json')) as f:
+        m = json.load(f)
+    assert m['split'] == 'val' and np.isfinite(m['psnr'])
+    assert m['total_size_kb'] > 0 and m['grid_size_kb'] > 0
+    assert 'turntable.gif' in os.listdir(exp)
