@@ -620,6 +620,7 @@ def _lean_src2_two_level(occ_state, occ_cfg, cfg: RFTracerConfig,
     S = cfg.num_steps
     ns = S // G
     F = cfg.super_factor
+    assert ns % F == 0, (ns, F)   # validate_segment_cover enforces too
     ns_s = ns // F
     R = rays.origins.shape[0]
     k2 = cfg.eval_seg_budget
