@@ -112,7 +112,8 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                    seg_dilation: int = 2, seg_budget: int = 32768,
                    fine_mode: str = 'deferred', term_tau: float = 0.0,
                    group_seg_size: int = 0, lean_stage1: bool = False,
-                   segment_size: int = 16, super_factor: int = 0):
+                   segment_size: int = 16, super_factor: int = 0,
+                   segs_per_block: int = 0):
     """Sustained rays/s on the reference's ACTUAL lego workload: pruning
     every 100 iterations (nerf_lego.yaml) with adaptive sample/segment
     budgets.  After the occupancy grid settles (~7% cells), every stage
@@ -158,8 +159,9 @@ def measure_pruned(iters: int = 200, coarse_level: int = 7,
                                     # kernel blocks must stay >=128 rows
                                     # (Mosaic lane reshape limit)
                                     group_segs_per_block=(
-                                        max(8, 128 // group_seg_size)
-                                        if group_seg_size else 8),
+                                        segs_per_block or (
+                                            max(8, 128 // group_seg_size)
+                                            if group_seg_size else 8)),
                                     fine_mode=fine_mode, term_tau=term_tau,
                                     lean_stage1=lean_stage1,
                                     super_factor=super_factor)
@@ -290,6 +292,9 @@ def main():
     superf = 0
     if '--super' in sys.argv:
         superf = int(sys.argv[sys.argv.index('--super') + 1])
+    spb = 0
+    if '--spb' in sys.argv:
+        spb = int(sys.argv[sys.argv.index('--spb') + 1])
     if '--pruned' in sys.argv:
         print(json.dumps(measure_pruned(iters=max(iters, 200),
                                         fine_mode=fine_mode,
@@ -297,7 +302,8 @@ def main():
                                         group_seg_size=gss,
                                         lean_stage1=lean or superf > 1,
                                         segment_size=segsz,
-                                        super_factor=superf)))
+                                        super_factor=superf,
+                                        segs_per_block=spb)))
         return
     if '--voxel' in sys.argv:
         print(json.dumps(measure_voxel(paged='--paged' in sys.argv,

@@ -1,0 +1,67 @@
+"""Collect the r5 lego seed-study artifact (VERDICT r4 item 5).
+
+Gathers val PSNR/SSIM from the r5 seed runs + the committed r2c/r4
+artifacts into one table with a median verdict vs the 24.19 dB bar.
+Run after tools/run_r5_runs.sh completes.
+"""
+import json
+import os
+import statistics
+import sys
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), '..')
+
+
+def load(p):
+    with open(p) as f:
+        return json.load(f)
+
+
+def main():
+    rows = []
+    for name, path, cfg in [
+        ('r2c (seed 0, r2 fast path)', 'artifacts/lego_r2c_metrics.json',
+         'deferred, no term_tau, no budget ladder'),
+        ('r4 (seed 0, term_tau 11.5 + ladder)',
+         'artifacts/lego_r4_metrics.json', 'term_tau 11.5, min_budget 8192'),
+        ('r5 seed 1 (term_tau 11.5 + ladder + lean)',
+         'runs/lego_r5_s1/lego_r5_s1/metrics.json',
+         'r4 config + lean_stage1'),
+        ('r5 seed 2 (term_tau 11.5 + ladder + lean)',
+         'runs/lego_r5_s2/lego_r5_s2/metrics.json',
+         'r4 config + lean_stage1'),
+    ]:
+        p = os.path.join(ROOT, path)
+        if not os.path.exists(p):
+            print(f'missing {path}', file=sys.stderr)
+            continue
+        m = load(p)
+        rows.append({'run': name, 'psnr': round(m['psnr'], 2),
+                     'ssim': round(m.get('ssim', float('nan')), 4),
+                     'config': cfg})
+    r4cfg = [r['psnr'] for r in rows if 'r4' in r['run'] or 'r5' in r['run']]
+    out = {
+        'question': "VERDICT r4 item 5: is the r4 throughput config's "
+                    '23.06 dB within seed spread of r2c\'s 24.19?',
+        'runs': rows,
+        'r4_config_family_psnrs': r4cfg,
+        'median_r4_family': round(statistics.median(r4cfg), 2) if r4cfg
+        else None,
+        'r2c_bar': 24.19,
+    }
+    if r4cfg:
+        med = statistics.median(r4cfg)
+        out['verdict'] = (
+            f'median {med:.2f} vs bar 24.19: '
+            + ('within 0.2 dB — the r4 knobs are quality-neutral'
+               if med >= 23.99 else
+               f'regression {24.19 - med:.2f} dB beyond spread — '
+               'see per-run numbers'))
+    path = os.path.join(ROOT, 'artifacts', 'lego_r5_seed_study.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == '__main__':
+    main()
