@@ -104,7 +104,8 @@ def measure(paged: bool = True, iters: int = 30, coarse_level: int = 5,
                   f'{num_rays} rays/iter, {262144 * r}-sample budget, '
                   '16-sample segment culling'
                   + (f', paged encode ({24576 * r}-segment eval budget)'
-                     if paged else ''),
+                     if paged else '')
+                  + (', lean stage-1' if lean_stage1 else ''),
     }
 
 
