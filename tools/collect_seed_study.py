@@ -48,6 +48,11 @@ def main():
         'median_r4_family': round(statistics.median(r4cfg), 2) if r4cfg
         else None,
         'r2c_bar': 24.19,
+        'r2c_caveat': 'the r2c run carries ~25 EXTRA epochs at '
+                      'end-schedule (post-STE) hyperparameters from a '
+                      'resume-overshoot bug fixed during that run '
+                      '(PARITY.md) — its 24.19 is partly inflated; no '
+                      'clean same-schedule 24.19 reproduction exists',
     }
     if r4cfg:
         med = statistics.median(r4cfg)
