@@ -1012,7 +1012,10 @@ def trace(field_fn, occ_state, occ_cfg: occ.OccupancyGridConfig,
                                   0, rc - 1).astype(jnp.int32)
                     return dil[ci[..., 0], ci[..., 1], ci[..., 2]]
 
-                seg2 = _trace_ray_deferred(
+                kernel_deferred = (_trace_ray_deferred_lean
+                                   if cfg.lean_stage1 else
+                                   _trace_ray_deferred)
+                seg2 = kernel_deferred(
                     occ_state, occ_cfg, cfg, rays, rng,
                     lambda s: jnp.ones(s.shape[:-1], bool))
             elif cfg.fine_mode == 'deferred':
