@@ -1,11 +1,25 @@
 #!/bin/bash
-# Stage-4 TPU queue (post-compare): first REAL-TPU run of the fused voxel
-# path (landed in the r4 end-of-round snapshot, CPU-tested only), then
-# the budget-headroom quality diagnostic.
+# Stage-4 TPU queue (post-compare): resume the wedged s2 run (relay-stall
+# kill at iteration ~28800; trains to the configured 30000 end), then the
+# first REAL-TPU run of the fused voxel path, then the budget-headroom
+# quality diagnostic.
 cd /root/repo
 while ! grep -q 'compare done' /tmp/r5_runs.status 2>/dev/null; do sleep 60; done
 sleep 30
 echo "queue4 start $(date)" >> /tmp/r5_runs.status
+
+timeout 3600 python -m shacira_tpu.apps.train_nerf \
+  --config configs/nerf_lego.yaml \
+  --dataset-path /tmp/nerf_lego \
+  --exp-name lego_r5_s2 --log-dir runs/lego_r5_s2 \
+  --hash-layout paged --mip 0 --seed 2 --resume true \
+  --segment-size 16 --coarse-level 7 --seg-dilation 2 \
+  --seg-budget 32768 --eval-seg-budget 24576 --max-samples 262144 \
+  --fine-mode deferred --term-tau 11.5 --lean-stage1 true \
+  --adaptive-budget true --min-budget 8192 \
+  --valid-every 50 --save-every 50 --log-every 20 \
+  >> /tmp/lego_r5_s2.log 2>&1
+echo "lego_s2_resume rc=$? $(date)" >> /tmp/r5_runs.status
 
 timeout 3000 python bench_nerf.py --voxel --paged --term-tau 11.5 --iters 200 \
   > /tmp/bench_voxel_r5.log 2>&1
