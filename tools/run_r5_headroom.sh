@@ -5,7 +5,7 @@
 # 24.19.  Run AFTER the main queue completes.
 set -x
 cd /root/repo
-timeout 7200 python -m shacira_tpu.apps.train_nerf \
+timeout 3600 python -m shacira_tpu.apps.train_nerf \
   --config configs/nerf_lego.yaml \
   --dataset-path /tmp/nerf_lego \
   --exp-name lego_r5_hr --log-dir runs/lego_r5_hr \

@@ -1,8 +1,9 @@
 #!/bin/bash
-# Stage-4 TPU queue (post-compare): resume the wedged s2 run (relay-stall
-# kill at iteration ~28800; trains to the configured 30000 end), then the
-# first REAL-TPU run of the fused voxel path, then the budget-headroom
-# quality diagnostic.
+# Stage-4 TPU queue (post-compare): resume the relay-stalled s2 run, rerun
+# V8 WITHOUT pruning (the r3 protocol — the synthetic RTMV scene's density
+# scale makes any prune threshold cliff the field; isolates the r5 config
+# fixes), then the first real-TPU fused-voxel run, then the budget-headroom
+# diagnostic.
 cd /root/repo
 while ! grep -q 'compare done' /tmp/r5_runs.status 2>/dev/null; do sleep 60; done
 sleep 30
@@ -20,6 +21,18 @@ timeout 3600 python -m shacira_tpu.apps.train_nerf \
   --valid-every 50 --save-every 50 --log-every 20 \
   >> /tmp/lego_r5_s2.log 2>&1
 echo "lego_s2_resume rc=$? $(date)" >> /tmp/r5_runs.status
+
+timeout 5400 python -m shacira_tpu.apps.train_nerf \
+  --config configs/nerf_V8.yaml \
+  --dataset-path /tmp/rtmv_v8 \
+  --exp-name v8_r5 --log-dir runs/v8_r5b \
+  --hash-layout paged --mip 0 \
+  --max-intersections 64 --max-samples 262144 --eval-seg-budget 16384 \
+  --term-tau 11.5 --adaptive-budget true --min-budget 8192 \
+  --prune-every -1 \
+  --valid-every 100 --save-every 100 --log-every 20 \
+  > /tmp/v8_r5b.log 2>&1
+echo "v8_r5b rc=$? $(date)" >> /tmp/r5_runs.status
 
 timeout 3000 python bench_nerf.py --voxel --paged --term-tau 11.5 --iters 200 \
   > /tmp/bench_voxel_r5.log 2>&1
