@@ -19,3 +19,17 @@ timeout 3000 python -m shacira_tpu.apps.train_nerf \
   --log-every 10 --metrics-only \
   > /tmp/cb_r5.log 2>&1
 echo "codebook_small rc=$? $(date)" >> /tmp/r5_runs.status
+
+sleep 60   # relay settle between clients
+timeout 2700 python -m shacira_tpu.apps.train_nerf \
+  --config configs/nerf_lego.yaml \
+  --dataset-path /tmp/nerf_lego \
+  --exp-name latent50_r5 --log-dir runs/latent50_r5 \
+  --hash-layout paged --mip 1 --epochs 50 \
+  --segment-size 16 --coarse-level 7 --seg-dilation 2 \
+  --seg-budget 32768 --eval-seg-budget 24576 --max-samples 262144 \
+  --fine-mode deferred --term-tau 11.5 \
+  --adaptive-budget true --min-budget 8192 \
+  --log-every 10 --metrics-only \
+  > /tmp/latent50_r5.log 2>&1
+echo "latent50_final rc=$? $(date)" >> /tmp/r5_runs.status
