@@ -162,27 +162,44 @@ def main():
     t_start = time.time()
     results = _load_partial() if os.environ.get('BENCH_RESUME') else {}
     failures = []
+    hard_down = 0   # consecutive fast UNAVAILABLE-class failures
     for name, args, timeout_s in STAGES:
         if name in results:
+            continue
+        if hard_down >= 2:
+            # circuit breaker: the TPU worker is down (30 min - 2 h
+            # outage class) — don't burn every stage's full timeout;
+            # print whatever succeeded
+            failures.append(f'{name}: skipped (TPU down circuit breaker)')
             continue
         remaining = GLOBAL_DEADLINE_S - (time.time() - t_start)
         if remaining < 300:
             failures.append(f'{name}: skipped (global deadline)')
             continue
         timeout_s = min(timeout_s, remaining)
+        t_stage = time.time()
         res, err = _run_subprocess(name, args, timeout_s)
         if res is None:
+            fast_fail = (time.time() - t_stage) < 420
+            unavailable = err is not None and (
+                'UNAVAILABLE' in err or 'crashed or restarted' in err
+                or 'remote_compile' in err)
             failures.append(err)
             print(f'# stage {name} failed ({err}); retrying once',
                   file=sys.stderr, flush=True)
             time.sleep(RETRY_SLEEP_S)
             remaining = GLOBAL_DEADLINE_S - (time.time() - t_start)
             if remaining > 300:
+                t_stage = time.time()
                 res, err = _run_subprocess(name, args,
                                            min(timeout_s, remaining))
                 if res is None:
                     failures.append(err + ' (retry)')
+                    if fast_fail and unavailable and (
+                            time.time() - t_stage) < 420:
+                        hard_down += 1
         if res is not None:
+            hard_down = 0
             results[name] = res
             _save_partial(results)
 
